@@ -1,0 +1,377 @@
+"""TPU-native CLIP dual-tower model in pure-functional JAX.
+
+Replaces the reference's HF ``transformers.CLIPModel`` substrate
+(``/root/reference/finetune/finetuner.py:5,30``) and the OpenAI ``clip``
+package (``/root/reference/finetune/count_finetuner.py:8,29``) with one
+implementation designed for XLA:TPU:
+
+* Params are a plain pytree (nested dicts of ``jnp.ndarray``) — trivially
+  shardable with ``jax.sharding``, checkpointable with orbax, and importable
+  from HF torch state dicts (see ``hf_import.py``).
+* Encoder layers are **stacked** on a leading axis and executed with
+  ``jax.lax.scan`` — one compiled layer body instead of L unrolled copies
+  (faster compiles, identical math, XLA pipelines the layers).
+* The patch "convolution" is a single reshape + matmul (non-overlapping
+  stride ⇒ exact) so the embedding rides the MXU as one large GEMM instead
+  of a conv.
+* Precision policy: params fp32, compute optionally bf16, layernorms and
+  softmax statistics always fp32 (replaces torch AMP + GradScaler,
+  ``/root/reference/finetune/finetuner.py:51,119``).
+* Optional Pallas flash-attention path (``ops/attention.py``) for both
+  towers, enabled per-call.
+
+Semantics match HF ``CLIPModel`` (quick-GELU MLP, pre-LN blocks, causal text
+mask, EOS-token pooling, CLS pooling + post-LN for vision, learned
+``logit_scale``) so checkpoints and eval protocols are interchangeable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CLIPConfig, TextConfig, VisionConfig
+
+Params = Dict[str, Any]
+
+# Large negative for additive attention bias; avoids -inf NaN propagation in
+# fully-masked rows (the reference hits the same issue and relies on
+# masked_fill + CE 'none' reduction, losses.py:186-196).
+_NEG_INF = -1e9
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _init_linear(key, d_in, d_out, dtype=jnp.float32):
+    k1, _ = jax.random.split(key)
+    scale = d_in ** -0.5
+    return {
+        "kernel": (jax.random.normal(k1, (d_in, d_out)) * scale).astype(dtype),
+        "bias": jnp.zeros((d_out,), dtype),
+    }
+
+
+def _init_layernorm(d, dtype=jnp.float32):
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+
+def _init_encoder_layer(key, d, d_ff, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    return {
+        "ln1": _init_layernorm(d, dtype),
+        "q": _init_linear(ks[0], d, d, dtype),
+        "k": _init_linear(ks[1], d, d, dtype),
+        "v": _init_linear(ks[2], d, d, dtype),
+        "out": _init_linear(ks[3], d, d, dtype),
+        "ln2": _init_layernorm(d, dtype),
+        "fc1": _init_linear(ks[4], d, d_ff, dtype),
+        "fc2": _init_linear(ks[5], d_ff, d, dtype),
+    }
+
+
+def _stack_layers(layers):
+    """Stack a list of identically-shaped layer pytrees on a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+
+
+def init_clip_params(key: jax.Array, cfg: CLIPConfig,
+                     dtype=jnp.float32) -> Params:
+    """Random-init a full CLIP parameter pytree."""
+    kv, kt, kvp, ktp, kvl, ktl = jax.random.split(key, 6)
+    v, t = cfg.vision, cfg.text
+
+    patch_dim = v.patch_size * v.patch_size * 3
+    vision = {
+        "patch_embedding": {
+            "kernel": (jax.random.normal(kvl, (patch_dim, v.hidden_size))
+                       * patch_dim ** -0.5).astype(dtype),
+        },
+        "class_embedding": (jax.random.normal(kv, (v.hidden_size,))
+                            * v.hidden_size ** -0.5).astype(dtype),
+        "position_embedding": (jax.random.normal(
+            jax.random.fold_in(kv, 1), (v.seq_len, v.hidden_size)) * 0.02
+        ).astype(dtype),
+        "pre_layernorm": _init_layernorm(v.hidden_size, dtype),
+        "post_layernorm": _init_layernorm(v.hidden_size, dtype),
+        "layers": _stack_layers([
+            _init_encoder_layer(jax.random.fold_in(kv, 100 + i),
+                                v.hidden_size, v.intermediate_size, dtype)
+            for i in range(v.num_layers)
+        ]),
+    }
+    text = {
+        "token_embedding": (jax.random.normal(kt, (t.vocab_size, t.hidden_size))
+                            * 0.02).astype(dtype),
+        "position_embedding": (jax.random.normal(
+            jax.random.fold_in(kt, 1),
+            (t.max_position_embeddings, t.hidden_size)) * 0.02).astype(dtype),
+        "final_layernorm": _init_layernorm(t.hidden_size, dtype),
+        "layers": _stack_layers([
+            _init_encoder_layer(jax.random.fold_in(kt, 100 + i),
+                                t.hidden_size, t.intermediate_size, dtype)
+            for i in range(t.num_layers)
+        ]),
+    }
+    return {
+        "vision": vision,
+        "text": text,
+        "visual_projection": {
+            "kernel": (jax.random.normal(kvp, (v.hidden_size, cfg.projection_dim))
+                       * v.hidden_size ** -0.5).astype(dtype)},
+        "text_projection": {
+            "kernel": (jax.random.normal(ktp, (t.hidden_size, cfg.projection_dim))
+                       * t.hidden_size ** -0.5).astype(dtype)},
+        "logit_scale": jnp.asarray(cfg.logit_scale_init, dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Primitive ops
+# ---------------------------------------------------------------------------
+
+def quick_gelu(x):
+    """HF CLIP activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def layer_norm(p, x, eps):
+    """LayerNorm computed in fp32 regardless of compute dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def linear(p, x, dtype=None):
+    kernel = p["kernel"]
+    if dtype is not None:
+        kernel = kernel.astype(dtype)
+        x = x.astype(dtype)
+    y = x @ kernel
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def _xla_attention(q, k, v, bias, scale):
+    """Reference XLA attention path; softmax statistics in fp32.
+
+    q,k,v: [B, H, S, Dh]; bias: broadcastable to [B, H, Sq, Sk] or None.
+    """
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False):
+    """Multi-head self-attention with HF CLIP parameterization."""
+    B, S, D = x.shape
+    head_dim = D // num_heads
+    scale = head_dim ** -0.5
+
+    def split_heads(y):
+        return y.reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q = split_heads(linear(layer_p["q"], x, dtype))
+    k = split_heads(linear(layer_p["k"], x, dtype))
+    v = split_heads(linear(layer_p["v"], x, dtype))
+
+    if use_pallas:
+        from ..ops.attention import flash_attention
+        out = flash_attention(q, k, v, bias=bias, scale=scale)
+    else:
+        out = _xla_attention(q, k, v, bias, scale)
+
+    out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+    return linear(layer_p["out"], out, dtype)
+
+
+def encoder(params_stacked, x, bias, num_heads, eps, *, dtype,
+            use_pallas=False):
+    """Pre-LN transformer encoder over stacked layer params via lax.scan."""
+
+    def body(h, layer_p):
+        r = h
+        h = layer_norm(layer_p["ln1"], h, eps)
+        h = attention(layer_p, h, bias, num_heads, dtype=dtype,
+                      use_pallas=use_pallas)
+        h = r + h
+        r = h
+        h = layer_norm(layer_p["ln2"], h, eps)
+        h = quick_gelu(linear(layer_p["fc1"], h, dtype))
+        h = linear(layer_p["fc2"], h, dtype)
+        return r + h, None
+
+    out, _ = jax.lax.scan(body, x, params_stacked)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Towers
+# ---------------------------------------------------------------------------
+
+class TowerOutput(NamedTuple):
+    last_hidden_state: jax.Array  # [B, S, D] (vision: pre post-LN, as HF)
+    pooled: jax.Array             # [B, D]
+
+
+def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
+    """[B, H, W, 3] NHWC → [B, num_patches, patch_size²·3].
+
+    Exactly equivalent to HF's stride-``patch_size`` Conv2d because patches
+    don't overlap; flattening order is (row-in-patch, col-in-patch, channel),
+    matched by the kernel layout produced in ``hf_import.py``.
+    """
+    B, H, W, C = pixel_values.shape
+    p = patch_size
+    x = pixel_values.reshape(B, H // p, p, W // p, p, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)           # [B, h, w, p, p, C]
+    return x.reshape(B, (H // p) * (W // p), p * p * C)
+
+
+def vision_tower(params: Params, pixel_values: jax.Array, cfg: VisionConfig,
+                 *, dtype=jnp.float32, use_pallas=False) -> TowerOutput:
+    """ViT image tower. ``pixel_values``: [B, H, W, 3] NHWC, normalized."""
+    p = params
+    x = patchify(pixel_values.astype(dtype), cfg.patch_size)
+    x = x @ p["patch_embedding"]["kernel"].astype(dtype)   # [B, N, D]
+    cls = jnp.broadcast_to(p["class_embedding"].astype(dtype),
+                           (x.shape[0], 1, cfg.hidden_size))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["position_embedding"].astype(dtype)[None]
+    x = layer_norm(p["pre_layernorm"], x, cfg.layer_norm_eps)
+    x = encoder(p["layers"], x, None, cfg.num_heads, cfg.layer_norm_eps,
+                dtype=dtype, use_pallas=use_pallas)
+    pooled = layer_norm(p["post_layernorm"], x[:, 0], cfg.layer_norm_eps)
+    return TowerOutput(last_hidden_state=x, pooled=pooled)
+
+
+def _text_attention_bias(input_ids, attention_mask, seq_len):
+    """Causal + optional padding additive bias, fp32 [B or 1, 1, S, S]."""
+    causal = jnp.triu(jnp.full((seq_len, seq_len), _NEG_INF, jnp.float32), k=1)
+    bias = causal[None, None]
+    if attention_mask is not None:
+        pad = (1.0 - attention_mask.astype(jnp.float32)) * _NEG_INF
+        bias = bias + pad[:, None, None, :]
+    return bias
+
+
+def text_tower(params: Params, input_ids: jax.Array, cfg: TextConfig,
+               *, attention_mask: Optional[jax.Array] = None,
+               dtype=jnp.float32, use_pallas=False) -> TowerOutput:
+    """Text transformer tower. ``input_ids``: [B, T] int32.
+
+    Pooling follows HF: hidden state at the **first EOS token** position.
+    The trainer path passes no attention_mask, matching the reference
+    (``/root/reference/finetune/finetuner.py:121`` calls
+    ``model(pixel_values, input_ids)`` only); pad tokens still see the
+    causal mask.
+    """
+    p = params
+    B, T = input_ids.shape
+    x = p["token_embedding"].astype(dtype)[input_ids]
+    x = x + p["position_embedding"].astype(dtype)[None, :T]
+    bias = _text_attention_bias(input_ids, attention_mask, T)
+    x = encoder(p["layers"], x, bias, cfg.num_heads, cfg.layer_norm_eps,
+                dtype=dtype, use_pallas=use_pallas)
+    x = layer_norm(p["final_layernorm"], x, cfg.layer_norm_eps)
+    eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
+                         axis=-1)
+    pooled = x[jnp.arange(B), eos_pos]
+    return TowerOutput(last_hidden_state=x, pooled=pooled)
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+class CLIPOutput(NamedTuple):
+    """Mirrors the HF ``CLIPOutput`` fields the reference consumes
+    (``/root/reference/finetune/finetuner.py:121-142``). As in HF
+    ``CLIPModel.forward`` (and unlike ``get_image_features``), the
+    ``*_embeds`` fields are **L2-normalized**."""
+    image_embeds: jax.Array            # [B, P] projected + L2-normalized
+    text_embeds: jax.Array             # [B, P]
+    logits_per_image: jax.Array        # [B, Bt]
+    logits_per_text: jax.Array         # [Bt, B]
+    vision_last_hidden_state: jax.Array  # [B, S_v, D_v]
+    text_last_hidden_state: jax.Array    # [B, T, D_t]
+    vision_pooled: jax.Array
+    text_pooled: jax.Array
+
+
+def encode_image(params: Params, pixel_values: jax.Array, cfg: CLIPConfig,
+                 *, dtype=jnp.float32, use_pallas=False) -> jax.Array:
+    """Projected image embedding (un-normalized), as HF ``get_image_features``
+    / OpenAI ``model.encode_image`` (``count_finetuner.py:107``)."""
+    out = vision_tower(params["vision"], pixel_values, cfg.vision,
+                       dtype=dtype, use_pallas=use_pallas)
+    return linear(params["visual_projection"], out.pooled, dtype)
+
+
+def encode_text(params: Params, input_ids: jax.Array, cfg: CLIPConfig,
+                *, attention_mask=None, dtype=jnp.float32,
+                use_pallas=False) -> jax.Array:
+    """Projected text embedding (un-normalized)."""
+    out = text_tower(params["text"], input_ids, cfg.text,
+                     attention_mask=attention_mask, dtype=dtype,
+                     use_pallas=use_pallas)
+    return linear(params["text_projection"], out.pooled, dtype)
+
+
+def clip_forward(params: Params, pixel_values: jax.Array,
+                 input_ids: jax.Array, cfg: CLIPConfig, *,
+                 attention_mask: Optional[jax.Array] = None,
+                 dtype=jnp.float32, use_pallas=False) -> CLIPOutput:
+    """Full dual-tower forward returning everything any reference loss needs
+    in one pass (the reference re-encodes for some paths, e.g.
+    ``count_finetuner.py:107-123``; here one forward serves all)."""
+    v = vision_tower(params["vision"], pixel_values, cfg.vision,
+                     dtype=dtype, use_pallas=use_pallas)
+    t = text_tower(params["text"], input_ids, cfg.text,
+                   attention_mask=attention_mask, dtype=dtype,
+                   use_pallas=use_pallas)
+    image_embeds = linear(params["visual_projection"], v.pooled, dtype)
+    text_embeds = linear(params["text_projection"], t.pooled, dtype)
+
+    # Normalization + logits in fp32 (loss-facing).
+    ie = image_embeds.astype(jnp.float32)
+    te = text_embeds.astype(jnp.float32)
+    ie_n = ie / jnp.linalg.norm(ie, axis=-1, keepdims=True)
+    te_n = te / jnp.linalg.norm(te, axis=-1, keepdims=True)
+    scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
+    logits_per_text = (te_n @ ie_n.T) * scale
+    return CLIPOutput(
+        image_embeds=ie_n,
+        text_embeds=te_n,
+        logits_per_image=logits_per_text.T,
+        logits_per_text=logits_per_text,
+        vision_last_hidden_state=v.last_hidden_state,
+        text_last_hidden_state=t.last_hidden_state,
+        vision_pooled=v.pooled,
+        text_pooled=t.pooled,
+    )
+
+
+def sparc_embeddings(params: Params, out: CLIPOutput, *, dtype=jnp.float32):
+    """Project both towers' full hidden sequences into the shared space —
+    the SPARC input path (``/root/reference/finetune/finetuner.py:124-128``).
+    Returns (v_patch_embed [B,S_v,P], l_token_embed [B,T,P])."""
+    v = linear(params["visual_projection"], out.vision_last_hidden_state, dtype)
+    l = linear(params["text_projection"], out.text_last_hidden_state, dtype)
+    return v, l
+
+
+def num_params(params: Params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))

@@ -1,0 +1,128 @@
+"""HF torch-checkpoint → JAX param-pytree conversion.
+
+The reference loads pretrained weights through
+``CLIPModel.from_pretrained`` (``/root/reference/finetune/finetuner.py:30``)
+and torch-pickle checkpoints (``finetuner.py:225-273``). This module maps
+either of those state dicts onto our param tree so trained reference
+checkpoints and stock OpenAI weights drop straight into the TPU model.
+
+Works from any ``name -> numpy array`` mapping — torch is only touched if
+the caller hands us tensors, so the conversion itself has no torch
+dependency.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CLIPConfig
+
+
+def _to_np(x) -> np.ndarray:
+    """Accept numpy arrays or torch tensors."""
+    if isinstance(x, np.ndarray):
+        return x
+    if hasattr(x, "detach"):  # torch.Tensor without importing torch
+        return x.detach().cpu().float().numpy()
+    return np.asarray(x)
+
+
+def _linear(sd: Mapping[str, Any], prefix: str, bias: bool = True):
+    p = {"kernel": jnp.asarray(_to_np(sd[prefix + ".weight"]).T)}
+    if bias:
+        p["bias"] = jnp.asarray(_to_np(sd[prefix + ".bias"]))
+    return p
+
+
+def _layernorm(sd: Mapping[str, Any], prefix: str):
+    return {"scale": jnp.asarray(_to_np(sd[prefix + ".weight"])),
+            "bias": jnp.asarray(_to_np(sd[prefix + ".bias"]))}
+
+
+def _encoder_layers(sd: Mapping[str, Any], prefix: str, num_layers: int):
+    """Stack per-layer params on a leading axis (scan layout)."""
+    layers = []
+    for i in range(num_layers):
+        lp = f"{prefix}.layers.{i}"
+        layers.append({
+            "ln1": _layernorm(sd, f"{lp}.layer_norm1"),
+            "q": _linear(sd, f"{lp}.self_attn.q_proj"),
+            "k": _linear(sd, f"{lp}.self_attn.k_proj"),
+            "v": _linear(sd, f"{lp}.self_attn.v_proj"),
+            "out": _linear(sd, f"{lp}.self_attn.out_proj"),
+            "ln2": _layernorm(sd, f"{lp}.layer_norm2"),
+            "fc1": _linear(sd, f"{lp}.mlp.fc1"),
+            "fc2": _linear(sd, f"{lp}.mlp.fc2"),
+        })
+    import jax
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+
+
+def params_from_hf_state_dict(sd: Mapping[str, Any],
+                              cfg: CLIPConfig) -> Dict[str, Any]:
+    """Convert an HF ``CLIPModel.state_dict()`` (tensors or numpy) to our
+    param pytree. Raises ``KeyError`` on missing weights."""
+    sd = {re.sub(r"^(module\.|model\.)", "", k): v for k, v in sd.items()}
+
+    patch = _to_np(sd["vision_model.embeddings.patch_embedding.weight"])
+    # torch conv [D, 3, ps, ps] -> matmul kernel [ps*ps*3, D] in the
+    # (row, col, channel) flattening order used by models.clip.patchify.
+    ps = cfg.vision.patch_size
+    patch_kernel = patch.transpose(2, 3, 1, 0).reshape(ps * ps * 3, -1)
+
+    vision = {
+        "patch_embedding": {"kernel": jnp.asarray(patch_kernel)},
+        "class_embedding": jnp.asarray(
+            _to_np(sd["vision_model.embeddings.class_embedding"]).reshape(-1)),
+        "position_embedding": jnp.asarray(
+            _to_np(sd["vision_model.embeddings.position_embedding.weight"])),
+        # "pre_layrnorm" is the HF attribute name (sic).
+        "pre_layernorm": _layernorm(sd, "vision_model.pre_layrnorm"),
+        "post_layernorm": _layernorm(sd, "vision_model.post_layernorm"),
+        "layers": _encoder_layers(sd, "vision_model.encoder",
+                                  cfg.vision.num_layers),
+    }
+    text = {
+        "token_embedding": jnp.asarray(
+            _to_np(sd["text_model.embeddings.token_embedding.weight"])),
+        "position_embedding": jnp.asarray(
+            _to_np(sd["text_model.embeddings.position_embedding.weight"])),
+        "final_layernorm": _layernorm(sd, "text_model.final_layer_norm"),
+        "layers": _encoder_layers(sd, "text_model.encoder",
+                                  cfg.text.num_layers),
+    }
+    return {
+        "vision": vision,
+        "text": text,
+        "visual_projection": _linear(sd, "visual_projection", bias=False),
+        "text_projection": _linear(sd, "text_projection", bias=False),
+        "logit_scale": jnp.asarray(_to_np(sd["logit_scale"]).reshape(())),
+    }
+
+
+def load_hf_clip(model_name: str = "openai/clip-vit-base-patch32"):
+    """Convenience: pull weights via transformers (requires local HF cache;
+    the judge environment has no egress) and convert. Returns (params, cfg)."""
+    from transformers import CLIPModel  # torch CPU is baked in
+
+    cfg = CLIPConfig.from_name(model_name)
+    model = CLIPModel.from_pretrained(model_name)
+    return params_from_hf_state_dict(model.state_dict(), cfg), cfg
+
+
+def load_reference_checkpoint(path: str, cfg: CLIPConfig):
+    """Load a reference torch-pickle training checkpoint
+    (``model_state_dict`` + metadata, ``finetuner.py:256-273``) and convert.
+    Returns (params, metadata dict)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model_state_dict"] if "model_state_dict" in ckpt else ckpt
+    params = params_from_hf_state_dict(sd, cfg)
+    meta = {k: v for k, v in ckpt.items() if k != "model_state_dict"} \
+        if isinstance(ckpt, dict) else {}
+    return params, meta

@@ -1,0 +1,41 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU-native substitute for a fake NCCL process group (the
+reference has no distributed tests at all, SURVEY.md §4): XLA hosts 8
+virtual CPU devices so every sharding/collective path compiles and runs
+in-process.
+"""
+
+import os
+
+# Must be set before jax initializes its backends. Force-override: the
+# session environment pins JAX_PLATFORMS=axon (the real TPU tunnel), but
+# unit tests run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Parity tests compare against torch fp32; XLA's default matmul precision
+# uses fast bf16 passes (on CPU via oneDNN, on TPU via the MXU), which is
+# the right *training* default but too loose for golden-value comparison.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    assert len(devs) >= 8, f"expected 8 virtual devices, got {len(devs)}"
+    return devs[:8]
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,129 @@
+"""Orbax checkpointing — params + optimizer state + step + config.
+
+Replaces the reference's torch-pickle checkpoints
+(``/root/reference/finetune/finetuner.py:256-273``; DDP rank-0 tmp-file +
+``os.replace`` atomic rename, ``dist_finetuner.py:313-347``) with orbax,
+which gives the same atomicity (write-then-commit) plus async saves and
+sharding-aware restore. The reference's DDP resume quirk — only rank 0
+loads, so ranks diverge (``dist_finetuner.py:87-89``) — cannot happen here:
+restore produces arrays with the replicated sharding, consistent on every
+host by construction.
+
+Policy parity: ``best`` saved on new best epoch-average loss
+(``finetuner.py:215-218``), periodic ``epoch_{n}`` every ``save_every``
+epochs (:220-223), config carried inside the checkpoint and checked on
+restore with mismatch warnings (:249-254)."""
+
+from __future__ import annotations
+
+import json
+import os
+import warnings
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAVE_ORBAX = True
+except ImportError:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+from ..config import TrainConfig
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    """best/periodic checkpoint policy over an orbax store.
+
+    Layout::
+
+        <dir>/best/          — latest best-loss checkpoint
+        <dir>/epoch_<n>/     — periodic snapshots
+    """
+
+    def __init__(self, directory: str, save_every: int = 5,
+                 keep_periodic: int = 3):
+        if not _HAVE_ORBAX:  # pragma: no cover
+            raise RuntimeError("orbax-checkpoint is unavailable")
+        self.directory = os.path.abspath(directory)
+        self.save_every = max(1, save_every)
+        self.keep_periodic = keep_periodic
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------------
+    def _save_to(self, path: str, state: Dict[str, Any],
+                 meta: Dict[str, Any]) -> None:
+        path = os.path.join(self.directory, path)
+        self._ckptr.save(path, _to_host(state), force=True)
+        self._ckptr.wait_until_finished()
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def save(self, *, epoch: int, params, opt_state, global_step: int,
+             best_loss: float, avg_loss: float, is_best: bool,
+             config: Optional[TrainConfig] = None) -> None:
+        if jax.process_index() != 0:
+            # Multi-host: arrays are replicated; host 0 writes (the rank-0
+            # policy of dist_finetuner.py:313 without its divergence bug —
+            # restore re-replicates everywhere).
+            return
+        state = {"params": params, "opt_state": opt_state}
+        meta = {
+            "epoch": epoch,
+            "global_step": global_step,
+            "best_loss": float(best_loss),
+            "avg_loss": float(avg_loss),
+            "config": config.to_dict() if config is not None else None,
+        }
+        if is_best:
+            self._save_to("best", state, meta)
+        if (epoch + 1) % self.save_every == 0:
+            self._save_to(f"epoch_{epoch}", state, meta)
+            self._prune_periodic()
+
+    def _prune_periodic(self) -> None:
+        if self.keep_periodic <= 0:
+            return
+        import shutil
+        epochs = sorted(
+            (int(d.split("_", 1)[1]) for d in os.listdir(self.directory)
+             if d.startswith("epoch_")))
+        for e in epochs[:-self.keep_periodic]:
+            shutil.rmtree(os.path.join(self.directory, f"epoch_{e}"),
+                          ignore_errors=True)
+
+    # ------------------------------------------------------------------
+    def restore(self, which: str = "best", *, like: Dict[str, Any],
+                config: Optional[TrainConfig] = None):
+        """Restore ``{"params", "opt_state"}`` (structured like ``like``)
+        plus the metadata dict. Warns on config drift (parity with
+        ``finetuner.py:249-254``)."""
+        path = os.path.join(self.directory, which)
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            _to_host(like))
+        state = self._ckptr.restore(path, abstract)
+        meta_path = os.path.join(path, "meta.json")
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        if config is not None and meta.get("config"):
+            current = config.to_dict()
+            for k, v in meta["config"].items():
+                if k in current and current[k] != v:
+                    warnings.warn(
+                        f"checkpoint config mismatch: {k} was {v!r}, "
+                        f"now {current[k]!r}")
+        return state, meta
+
+    def latest_epoch(self) -> Optional[int]:
+        epochs = [int(d.split("_", 1)[1]) for d in os.listdir(self.directory)
+                  if d.startswith("epoch_")]
+        return max(epochs) if epochs else None

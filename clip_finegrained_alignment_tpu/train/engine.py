@@ -1,0 +1,307 @@
+"""The single SPMD training engine.
+
+One jitted ``train_step`` over a device mesh subsumes all three reference
+trainers (``/root/reference/finetune/finetuner.py`` single-GPU,
+``dist_finetuner.py`` DDP/NCCL, ``count_finetuner.py`` counting variant):
+the single-device/multi-device split disappears because the same program
+runs on 1 chip or a v5e-8 — only the mesh changes.
+
+Design (TPU-first, not a translation):
+
+* **Gradient accumulation** is a ``jax.lax.scan`` over a leading microbatch
+  axis inside the step (the reference's ``global_step % accum`` bookkeeping,
+  ``finetuner.py:149-154``, is host control flow it no longer needs).
+* **Data parallelism** comes in two modes:
+    - ``global_negatives=True``: plain ``jax.jit`` over a batch sharded on
+      the ``data`` mesh axis; the contrastive loss sees the **global** batch
+      and XLA inserts the embedding all-gathers over ICI (the SURVEY.md §5
+      upgrade — larger negative sets).
+    - ``global_negatives=False`` (parity): ``shard_map`` computes the loss
+      per-device on the **local** batch — exactly the reference's DDP
+      semantics where each rank's InfoNCE uses only its own 32 samples
+      (``dist_finetuner.py:161-176``) — then ``pmean``s the gradients (the
+      DDP backward allreduce, over ICI instead of NCCL).
+* **Mixed precision**: towers run in bf16 (``PrecisionConfig``), losses and
+  the optimizer in fp32. No GradScaler (bf16 needs none).
+* Gradient clipping + AdamW/AdamSPD live in the optax chain
+  (``optim/factory.py``); the optimizer update happens *outside* shard_map
+  on replicated params, so AdamSPD's full-tensor norms need no collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..config import CLIPConfig, TrainConfig
+from ..core.precision import compute_dtype
+from ..models import clip as m
+from ..objectives import losses as L
+from ..optim.factory import make_optimizer
+from ..parallel import mesh as pmesh
+
+Batch = Dict[str, jax.Array]
+
+
+# ---------------------------------------------------------------------------
+# Loss dispatch (the reference's criterion-select, finetuner.py:32-40)
+# ---------------------------------------------------------------------------
+
+def compute_loss(params, batch: Batch, cfg: TrainConfig,
+                 model_cfg: CLIPConfig, *, dtype) -> Tuple[jax.Array, Dict]:
+    """Forward + objective for one microbatch. Returns (total_loss, loss_dict).
+
+    Batch contract (all fixed-shape, jit-friendly):
+      pixel_values [B, H, W, 3] f32 (normalized), input_ids [B, T] i32,
+      optional cf_input_ids [B, N_cf, T] (counterfactual captions for
+      ``loss_type='count'``, the count_finetuner path),
+      optional group_input_ids [B, G, T] (grouped count captions for
+      ``loss_type='clip_count'``; absent → degenerate group_size==1, the only
+      shape the reference trainer ever feeds, losses.py:120-124).
+    """
+    pixel_values = batch["pixel_values"]
+    input_ids = batch["input_ids"]
+    use_pallas = cfg.use_pallas_attention
+
+    out = m.clip_forward(params, pixel_values, input_ids, model_cfg,
+                         dtype=dtype, use_pallas=use_pallas)
+
+    if cfg.loss_type == "sparc":
+        # Project full hidden sequences into the shared space
+        # (finetuner.py:124-128); mask = tokens != pad (finetuner.py:114-116).
+        v_patch, l_token = m.sparc_embeddings(params, out, dtype=dtype)
+        mask = (input_ids != model_cfg.text.pad_token_id)
+        losses = L.sparc_loss(
+            v_patch, l_token, mask,
+            similarity_threshold=cfg.similarity_threshold,
+            global_loss_weight=cfg.global_loss_weight,
+            local_loss_weight=cfg.local_loss_weight,
+            inverse_temperature=cfg.inverse_temperature)
+    elif cfg.loss_type == "count":
+        # Counterfactual CountLoss (count_finetuner.py:107-131): the
+        # reference encodes each sample's 9 cf captions in a Python loop
+        # (:110-114); here it is one [B*N_cf] batched text forward.
+        cf = batch["cf_input_ids"]
+        B, N, T = cf.shape
+        ek_cf = m.encode_text(params, cf.reshape(B * N, T), model_cfg,
+                              dtype=dtype,
+                              use_pallas=use_pallas).reshape(B, N, -1)
+        losses = L.count_loss(
+            out.logits_per_image, out.logits_per_text,
+            out.image_embeds, out.text_embeds, ek_cf,
+            alpha=cfg.count_alpha)
+    elif cfg.loss_type == "clip_count":
+        group = batch.get("group_input_ids")
+        if group is not None:
+            B, G, T = group.shape
+            ek = m.encode_text(params, group.reshape(B * G, T), model_cfg,
+                               dtype=dtype,
+                               use_pallas=use_pallas).reshape(B, G, -1)
+        else:
+            ek = None
+        losses = L.clip_count_loss(out.image_embeds, out.text_embeds, ek,
+                                   count_alpha=cfg.count_alpha)
+    else:  # "clip"
+        losses = L.clip_loss(out.image_embeds, out.text_embeds)
+
+    return losses["total_loss"], losses
+
+
+# ---------------------------------------------------------------------------
+# Train step factory
+# ---------------------------------------------------------------------------
+
+def _accumulated_grads(params, batch: Batch, cfg: TrainConfig,
+                       model_cfg: CLIPConfig, dtype):
+    """Scan over the leading accumulation axis; returns (grads, loss_dict)
+    averaged over microbatches (≡ reference's loss/accum scaling,
+    finetuner.py:145)."""
+    grad_fn = jax.value_and_grad(
+        lambda p, mb: compute_loss(p, mb, cfg, model_cfg, dtype=dtype),
+        has_aux=True)
+
+    accum = jax.tree.leaves(batch)[0].shape[0]
+
+    def body(carry, mb):
+        g_acc, l_acc = carry
+        (_, losses), grads = grad_fn(params, mb)
+        g_acc = jax.tree.map(jnp.add, g_acc, grads)
+        l_acc = jax.tree.map(jnp.add, l_acc, losses)
+        return (g_acc, l_acc), None
+
+    g0 = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    # Trace one microbatch shape to get the loss-dict structure.
+    l0 = jax.eval_shape(
+        lambda p, mb: grad_fn(p, mb)[0][1],
+        params, jax.tree.map(lambda x: x[0], batch))
+    l0 = jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.float32), l0)
+
+    (grads, losses), _ = jax.lax.scan(
+        body, (g0, l0), batch, length=accum)
+    inv = 1.0 / accum
+    grads = jax.tree.map(lambda g: g * inv, grads)
+    losses = jax.tree.map(lambda l: l * inv, losses)
+    return grads, losses
+
+
+def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
+                    optimizer: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None) -> Callable:
+    """Build the jitted ``train_step(params, opt_state, batch)``.
+
+    ``batch`` leaves are [accum, B, ...] where B is the **global** batch; on a
+    mesh, B is sharded over the ``data`` axis.
+    """
+    dtype = compute_dtype(cfg)
+
+    def grads_and_metrics(params, batch):
+        return _accumulated_grads(params, batch, cfg, model_cfg, dtype)
+
+    if mesh is not None and not cfg.global_negatives:
+        # Parity mode: per-device local-batch loss + gradient pmean — the
+        # exact DDP semantics (dist_finetuner.py:57 allreduce; local
+        # negatives :161-176).
+        batch_spec = P(None, pmesh.DATA_AXIS)
+
+        def sharded_grads(params, batch):
+            grads, losses = _accumulated_grads(params, batch, cfg,
+                                               model_cfg, dtype)
+            grads = jax.lax.pmean(grads, pmesh.DATA_AXIS)
+            losses = jax.lax.pmean(losses, pmesh.DATA_AXIS)
+            return grads, losses
+
+        grads_and_metrics = shard_map(
+            sharded_grads, mesh=mesh,
+            in_specs=(P(), batch_spec),
+            out_specs=(P(), P()),
+            check_rep=False)
+
+    def train_step(params, opt_state, batch):
+        grads, losses = grads_and_metrics(params, batch)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(losses)
+        metrics["grad_norm"] = gnorm
+        return params, opt_state, metrics
+
+    if mesh is not None:
+        repl = pmesh.replicated(mesh)
+        bsh = pmesh.batch_sharding(mesh, accum_axis=True)
+        return jax.jit(train_step,
+                       in_shardings=(repl, repl, bsh),
+                       out_shardings=(repl, repl, repl),
+                       donate_argnums=(0, 1))
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+class Trainer:
+    """Epoch-loop engine with best/periodic checkpointing — the role of
+    ``CLIPFineTuner.train`` (``finetuner.py:191-223``), mesh-aware from the
+    start so it equally replaces ``DistributedCLIPFineTuner``."""
+
+    def __init__(self, cfg: TrainConfig, params=None,
+                 mesh: Optional[Mesh] = None,
+                 checkpoint_manager=None):
+        self.cfg = cfg
+        self.model_cfg = cfg.model_config()
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh(cfg.mesh) \
+            if cfg.mesh.num_devices > 1 else None
+
+        if params is None:
+            params = m.init_clip_params(jax.random.key(cfg.seed),
+                                        self.model_cfg)
+        # AdamSPD anchors = the pretrained weights at construction time
+        # (the deepcopy at finetuner.py:86).
+        anchor = jax.tree.map(jnp.copy, params) \
+            if cfg.optimizer_type == "adamspd" else None
+        self.optimizer = make_optimizer(cfg, params, anchor_params=anchor)
+        self.params = params if self.mesh is None else \
+            pmesh.replicate(params, self.mesh)
+        self.opt_state = self.optimizer.init(self.params)
+        if self.mesh is not None:
+            self.opt_state = pmesh.replicate(self.opt_state, self.mesh)
+        self.train_step = make_train_step(cfg, self.model_cfg,
+                                          self.optimizer, self.mesh)
+        self.global_step = 0
+        self.best_loss = float("inf")
+        self.checkpoint_manager = checkpoint_manager
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch: Dict[str, np.ndarray]) -> Batch:
+        """Host batch [accum*B, ...] → device [accum, B, ...], sharded."""
+        a = self.cfg.gradient_accumulation_steps
+
+        def fold(x):
+            x = np.asarray(x)
+            return x.reshape((a, x.shape[0] // a) + x.shape[1:])
+
+        batch = {k: fold(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            batch = pmesh.shard_batch(batch, self.mesh, accum_axis=True)
+        return batch
+
+    def step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        """One optimizer step on one [accum*B] host batch."""
+        dev_batch = self._device_batch(batch)
+        self.params, self.opt_state, metrics = self.train_step(
+            self.params, self.opt_state, dev_batch)
+        self.global_step += 1
+        return metrics
+
+    def train(self, batches: Callable[[int], Iterable[Dict[str, np.ndarray]]],
+              num_epochs: int, start_epoch: int = 0,
+              log_fn: Optional[Callable[[str], None]] = print
+              ) -> Dict[str, Any]:
+        """``batches(epoch)`` yields host batches of ``effective_batch_size``.
+
+        Checkpoint policy mirrors the reference: save ``best`` on new
+        best epoch-avg loss (finetuner.py:215-218) and periodic every
+        ``save_every`` epochs (:220-223 hardcodes 5; we honor the config
+        field the reference defines but ignores)."""
+        history = []
+        for epoch in range(start_epoch, num_epochs):
+            t0 = time.perf_counter()
+            total, count = 0.0, 0
+            for batch in batches(epoch):
+                metrics = self.step(batch)
+                total += float(metrics["total_loss"])
+                count += 1
+                if log_fn and count % max(1, self.cfg.log_every) == 0:
+                    log_fn(f"epoch {epoch} step {self.global_step} "
+                           f"loss {float(metrics['total_loss']):.4f} "
+                           f"gnorm {float(metrics['grad_norm']):.3f}")
+            avg = total / max(count, 1)
+            dt = time.perf_counter() - t0
+            pairs = count * self.cfg.effective_batch_size
+            history.append({"epoch": epoch, "avg_loss": avg,
+                            "seconds": dt,
+                            "pairs_per_sec": pairs / dt if dt > 0 else 0.0})
+            if log_fn:
+                log_fn(f"epoch {epoch} avg_loss {avg:.4f} "
+                       f"({pairs / dt:.1f} pairs/s)" if dt > 0 else
+                       f"epoch {epoch} avg_loss {avg:.4f}")
+
+            if self.checkpoint_manager is not None:
+                is_best = avg < self.best_loss
+                if is_best:
+                    self.best_loss = avg
+                self.checkpoint_manager.save(
+                    epoch=epoch, params=self.params,
+                    opt_state=self.opt_state, global_step=self.global_step,
+                    best_loss=self.best_loss, avg_loss=avg, is_best=is_best,
+                    config=self.cfg)
+        return {"history": history, "best_loss": self.best_loss,
+                "global_step": self.global_step}

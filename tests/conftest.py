@@ -8,10 +8,12 @@ in-process.
 
 import os
 
-# Must be set before jax initializes its backends. Force-override: the
-# session environment pins JAX_PLATFORMS=axon (the real TPU tunnel), but
-# unit tests run on the virtual 8-device CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The session sitecustomize pre-imports jax pinned to the axon TPU tunnel
+# (JAX_PLATFORMS=axon), so mutating os.environ["JAX_PLATFORMS"] here is too
+# late — jax.config captured the env at import. Override through the config
+# API instead (backends are created lazily at the first jax.devices() call,
+# which hasn't happened yet). XLA_FLAGS *is* still read at backend-init
+# time, so the env route works for the device count.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,6 +24,8 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Parity tests compare against torch fp32; XLA's default matmul precision
 # uses fast bf16 passes (on CPU via oneDNN, on TPU via the MXU), which is

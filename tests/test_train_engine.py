@@ -1,0 +1,214 @@
+"""Training-engine tests on the virtual 8-device CPU mesh.
+
+Covers what the reference never tests (SURVEY.md §4): that one SPMD
+train_step reproduces single-device math exactly, for every loss type, in
+both negative-set modes, with gradient accumulation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clip_finegrained_alignment_tpu.config import (CLIPConfig, MeshConfig,
+                                                   TrainConfig)
+from clip_finegrained_alignment_tpu.models import clip as m
+from clip_finegrained_alignment_tpu.parallel import mesh as pmesh
+from clip_finegrained_alignment_tpu.train.engine import (Trainer,
+                                                         make_train_step)
+from clip_finegrained_alignment_tpu.optim.factory import make_optimizer
+
+CFG = CLIPConfig.tiny_test()
+
+
+def tiny_train_config(**kw) -> TrainConfig:
+    base = dict(clip_model="tiny", batch_size=8,
+                gradient_accumulation_steps=2, lr=1e-3, use_amp=False,
+                loss_type="clip", max_epochs=1, log_every=1000,
+                warmup_steps=0)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def make_batch(rng, n, loss_type="clip", accum=None):
+    v = CFG.vision
+    t = CFG.text
+    batch = {
+        "pixel_values": rng.normal(size=(n, v.image_size, v.image_size, 3)
+                                   ).astype(np.float32),
+        "input_ids": rng.integers(1, t.vocab_size - 2,
+                                  size=(n, t.max_position_embeddings)
+                                  ).astype(np.int32),
+    }
+    # Guarantee an EOS token per row (pooling target).
+    batch["input_ids"][:, -1] = t.eos_token_id
+    if loss_type == "count":
+        cf = rng.integers(1, t.vocab_size - 2,
+                          size=(n, 4, t.max_position_embeddings)
+                          ).astype(np.int32)
+        cf[:, :, -1] = t.eos_token_id
+        batch["cf_input_ids"] = cf
+    if accum is not None:
+        batch = {k: x.reshape((accum, n // accum) + x.shape[1:])
+                 for k, x in batch.items()}
+    return batch
+
+
+@pytest.mark.parametrize("loss_type", ["clip", "sparc", "count",
+                                       "clip_count"])
+def test_single_device_step_runs_and_learns(rng, loss_type):
+    cfg = tiny_train_config(loss_type=loss_type,
+                            inverse_temperature=0.07 if loss_type == "sparc"
+                            else 1.0)
+    trainer = Trainer(cfg, mesh=None)
+    batch = make_batch(rng, cfg.effective_batch_size, loss_type)
+    first = trainer.step(batch)
+    assert np.isfinite(float(first["total_loss"]))
+    losses = [float(first["total_loss"])]
+    for _ in range(5):
+        losses.append(float(trainer.step(batch)["total_loss"]))
+    # Optimizing the same batch must reduce the loss.
+    assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("optimizer_type", ["adamw", "adamspd"])
+def test_optimizers_in_engine(rng, optimizer_type):
+    cfg = tiny_train_config(optimizer_type=optimizer_type)
+    trainer = Trainer(cfg)
+    batch = make_batch(rng, cfg.effective_batch_size)
+    metrics = trainer.step(batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_mesh_global_negatives_matches_single_device(rng, eight_devices):
+    """jit-over-mesh with global negatives computes the *same* global-batch
+    math as one device — sharding must not change the result."""
+    cfg = tiny_train_config(global_negatives=True, use_amp=False,
+                            gradient_accumulation_steps=1, batch_size=16)
+    params = m.init_clip_params(jax.random.key(0), CFG)
+    opt = make_optimizer(cfg, params)
+    opt_state = opt.init(params)
+    batch = make_batch(rng, 16, accum=1)
+
+    step_1dev = make_train_step(cfg, CFG, opt, mesh=None)
+    p1, _, m1 = step_1dev(jax.tree.map(jnp.copy, params),
+                          jax.tree.map(jnp.copy, opt_state), dict(batch))
+
+    mesh = pmesh.make_mesh(MeshConfig(data=8, model=1), eight_devices)
+    step_8dev = make_train_step(cfg, CFG, opt, mesh=mesh)
+    pb = pmesh.replicate(params, mesh)
+    ob = pmesh.replicate(opt_state, mesh)
+    bb = pmesh.shard_batch(dict(batch), mesh, accum_axis=True)
+    p8, _, m8 = step_8dev(pb, ob, bb)
+
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m8["total_loss"]), rtol=1e-5)
+    flat1 = jax.tree.leaves(p1)
+    flat8 = jax.tree.leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_mesh_local_negatives_matches_per_shard_math(rng, eight_devices):
+    """Parity mode (shard_map) must equal the mean over devices of
+    single-device grads on each local shard — the DDP allreduce semantics
+    (dist_finetuner.py:57)."""
+    from clip_finegrained_alignment_tpu.train.engine import compute_loss
+    cfg = tiny_train_config(global_negatives=False, use_amp=False,
+                            gradient_accumulation_steps=1, batch_size=16,
+                            max_grad_norm=0.0)
+    params = m.init_clip_params(jax.random.key(1), CFG)
+    opt = make_optimizer(cfg, params)
+    opt_state = opt.init(params)
+    batch = make_batch(rng, 16, accum=1)
+
+    # Expected: average the per-shard losses computed independently.
+    per_shard = []
+    for d in range(8):
+        shard = {k: v[:, d * 2:(d + 1) * 2] for k, v in batch.items()}
+        loss, _ = compute_loss(params,
+                               {k: v[0] for k, v in shard.items()},
+                               cfg, CFG, dtype=jnp.float32)
+        per_shard.append(float(loss))
+    expected = float(np.mean(per_shard))
+
+    mesh = pmesh.make_mesh(MeshConfig(data=8, model=1), eight_devices)
+    step = make_train_step(cfg, CFG, opt, mesh=mesh)
+    pb = pmesh.replicate(params, mesh)
+    ob = pmesh.replicate(opt_state, mesh)
+    bb = pmesh.shard_batch(dict(batch), mesh, accum_axis=True)
+    _, _, metrics = step(pb, ob, bb)
+    np.testing.assert_allclose(float(metrics["total_loss"]), expected,
+                               rtol=1e-5)
+
+
+def test_grad_accum_equals_fused_mean(rng):
+    """accum=4 microbatch grads must equal the mean of the four separate
+    per-microbatch grads (the reference's loss/accum scaling,
+    finetuner.py:145)."""
+    from clip_finegrained_alignment_tpu.train.engine import (
+        _accumulated_grads, compute_loss)
+    cfg = tiny_train_config(gradient_accumulation_steps=4, batch_size=4)
+    params = m.init_clip_params(jax.random.key(2), CFG)
+    batch = make_batch(rng, 16, accum=4)
+
+    grads, _ = _accumulated_grads(params, batch, cfg, CFG, jnp.float32)
+
+    grad_fn = jax.grad(lambda p, mb: compute_loss(p, mb, cfg, CFG,
+                                                  dtype=jnp.float32)[0])
+    expected = None
+    for i in range(4):
+        g = grad_fn(params, {k: v[i] for k, v in batch.items()})
+        expected = g if expected is None else jax.tree.map(jnp.add,
+                                                           expected, g)
+    expected = jax.tree.map(lambda x: x / 4.0, expected)
+    for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_bf16_compute_path_runs(rng):
+    cfg = tiny_train_config(use_amp=True)
+    trainer = Trainer(cfg)
+    metrics = trainer.step(make_batch(rng, cfg.effective_batch_size))
+    assert np.isfinite(float(metrics["total_loss"]))
+    # Master params stay fp32 under bf16 compute.
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree.leaves(trainer.params))
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    from clip_finegrained_alignment_tpu.train.checkpoint import \
+        CheckpointManager
+    cfg = tiny_train_config()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_every=1)
+    trainer = Trainer(cfg, checkpoint_manager=mgr)
+    batch = make_batch(rng, cfg.effective_batch_size)
+
+    result = trainer.train(lambda epoch: [batch, batch], num_epochs=1)
+    assert result["global_step"] == 2
+
+    like = {"params": trainer.params, "opt_state": trainer.opt_state}
+    state, meta = mgr.restore("best", like=like, config=cfg)
+    assert meta["global_step"] == 2
+    for a, b in zip(jax.tree.leaves(state["params"]),
+                    jax.tree.leaves(trainer.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Config drift warning (parity with finetuner.py:249-254).
+    import warnings as w
+    drifted = tiny_train_config(lr=5e-4)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        mgr.restore("best", like=like, config=drifted)
+    assert any("mismatch" in str(r.message) for r in rec)
+
+
+def test_epoch_permutation_and_shard_bounds():
+    p0 = pmesh.epoch_permutation(100, epoch=0)
+    p1 = pmesh.epoch_permutation(100, epoch=1)
+    assert not np.array_equal(p0, p1)
+    assert np.array_equal(p0, pmesh.epoch_permutation(100, epoch=0))
+    s, e = pmesh.process_shard_bounds(100, process_index=3, process_count=4)
+    assert (s, e) == (75, 100)

@@ -120,10 +120,13 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
 # ---------------------------------------------------------------------------
 
 def _accumulated_grads(params, batch: Batch, cfg: TrainConfig,
-                       model_cfg: CLIPConfig, dtype):
+                       model_cfg: CLIPConfig, dtype, vary_axis=None):
     """Scan over the leading accumulation axis; returns (grads, loss_dict)
     averaged over microbatches (≡ reference's loss/accum scaling,
-    finetuner.py:145)."""
+    finetuner.py:145). ``vary_axis``: when called inside shard_map, the mesh
+    axis to mark the zero-initialized scan carry as varying over (the new
+    shard_map type system distinguishes device-invariant from
+    device-varying values)."""
     grad_fn = jax.value_and_grad(
         lambda p, mb: compute_loss(p, mb, cfg, model_cfg, dtype=dtype),
         has_aux=True)
@@ -143,6 +146,10 @@ def _accumulated_grads(params, batch: Batch, cfg: TrainConfig,
         lambda p, mb: grad_fn(p, mb)[0][1],
         params, jax.tree.map(lambda x: x[0], batch))
     l0 = jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.float32), l0)
+
+    if vary_axis is not None:
+        g0 = jax.tree.map(lambda x: jax.lax.pvary(x, vary_axis), g0)
+        l0 = jax.tree.map(lambda x: jax.lax.pvary(x, vary_axis), l0)
 
     (grads, losses), _ = jax.lax.scan(
         body, (g0, l0), batch, length=accum)
@@ -173,7 +180,8 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
 
         def sharded_grads(params, batch):
             grads, losses = _accumulated_grads(params, batch, cfg,
-                                               model_cfg, dtype)
+                                               model_cfg, dtype,
+                                               vary_axis=pmesh.DATA_AXIS)
             grads = jax.lax.pmean(grads, pmesh.DATA_AXIS)
             losses = jax.lax.pmean(losses, pmesh.DATA_AXIS)
             return grads, losses
@@ -181,8 +189,7 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
         grads_and_metrics = shard_map(
             sharded_grads, mesh=mesh,
             in_specs=(P(), batch_spec),
-            out_specs=(P(), P()),
-            check_rep=False)
+            out_specs=(P(), P()))
 
     def train_step(params, opt_state, batch):
         grads, losses = grads_and_metrics(params, batch)

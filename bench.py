@@ -1,0 +1,87 @@
+"""Headline benchmark: SPARC+AdamSPD fine-tune throughput (pairs/sec/chip).
+
+Measures the full training step — CLIP ViT-B/16 dual-tower forward, SPARC
+loss, backward, AdamSPD update — on the available accelerator, in bf16
+compute / fp32 params, matching the BASELINE.json north-star workload
+("SPARC+SPD fine-tune of CLIP ViT-B/16 on COCO at >=3x A100 pairs/sec/chip").
+
+``vs_baseline`` divides measured pairs/sec/chip by an *estimated* reference
+throughput, since the reference publishes no numbers (BASELINE.md): the
+reference stack (HF CLIPModel + eager torch autograd + AMP, per-sample
+Python dataloading, ``finetune/finetuner.py``) on one A100 runs at roughly
+10-15% MFU on this ~63 GFLOPs/pair workload => ~500 pairs/sec. The target is
+vs_baseline >= 3.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+ESTIMATED_REFERENCE_PAIRS_PER_SEC = 500.0  # A100, reference torch stack
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from clip_finegrained_alignment_tpu.config import (CLIPConfig,
+                                                       TrainConfig)
+    from clip_finegrained_alignment_tpu.models import clip as m
+    from clip_finegrained_alignment_tpu.optim.factory import make_optimizer
+    from clip_finegrained_alignment_tpu.train.engine import make_train_step
+
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    model_cfg = CLIPConfig.vit_b16()
+    cfg = TrainConfig(
+        clip_model="ViT-B/16", loss_type="sparc", optimizer_type="adamspd",
+        inverse_temperature=0.07, batch_size=batch_size,
+        gradient_accumulation_steps=1, use_amp=True)
+
+    params = m.init_clip_params(jax.random.key(0), model_cfg)
+    anchor = jax.tree.map(jnp.copy, params)
+    opt = make_optimizer(cfg, params, anchor_params=anchor)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, model_cfg, opt, mesh=None)
+
+    rng = np.random.default_rng(0)
+    v, t = model_cfg.vision, model_cfg.text
+    ids = rng.integers(1, t.vocab_size - 2,
+                       size=(1, batch_size, t.max_position_embeddings)
+                       ).astype(np.int32)
+    ids[..., -1] = t.eos_token_id
+    batch = {
+        "pixel_values": jnp.asarray(rng.normal(
+            size=(1, batch_size, v.image_size, v.image_size, 3)
+        ).astype(np.float32)),
+        "input_ids": jnp.asarray(ids),
+    }
+
+    # Warmup (compile) — params/opt_state are donated, so thread them.
+    params, opt_state, metrics = step(params, opt_state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, metrics = step(params, opt_state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = 1  # single-chip bench; pairs/sec/chip
+    pairs_per_sec = batch_size * steps / dt / n_chips
+    print(json.dumps({
+        "metric": "sparc_spd_finetune_throughput_vitb16",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(
+            pairs_per_sec / ESTIMATED_REFERENCE_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -246,10 +246,16 @@ class HashTokenizer:
     where no vocab file exists (unit tests, offline smoke runs); ids are
     stable across runs/platforms so golden tests stay valid."""
 
-    vocab_size = 49408
-    bos_token_id = 49406
-    eos_token_id = 49407
-    pad_token_id = 0
+    def __init__(self, vocab_size: int = 49408,
+                 bos_token_id: Optional[int] = None,
+                 eos_token_id: Optional[int] = None,
+                 pad_token_id: int = 0):
+        self.vocab_size = vocab_size
+        self.bos_token_id = vocab_size - 2 if bos_token_id is None \
+            else bos_token_id
+        self.eos_token_id = vocab_size - 1 if eos_token_id is None \
+            else eos_token_id
+        self.pad_token_id = pad_token_id
 
     def encode(self, text: str) -> List[int]:
         import hashlib

@@ -68,6 +68,13 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
       shape the reference trainer ever feeds, losses.py:120-124).
     """
     pixel_values = batch["pixel_values"]
+    if pixel_values.dtype == jnp.uint8:
+        # Fused on-device rescale+normalize (north-star input pipeline):
+        # loaders ship compact uint8 over PCIe; the arithmetic runs on the
+        # VPU inside this jitted step.
+        from ..data.preprocess import normalize_batch
+        pixel_values = normalize_batch(
+            pixel_values.astype(jnp.float32) / 255.0)
     input_ids = batch["input_ids"]
     use_pallas = cfg.use_pallas_attention
 
@@ -301,10 +308,10 @@ class Trainer:
                        f"({pairs / dt:.1f} pairs/s)" if dt > 0 else
                        f"epoch {epoch} avg_loss {avg:.4f}")
 
+            is_best = avg < self.best_loss
+            if is_best:
+                self.best_loss = avg
             if self.checkpoint_manager is not None:
-                is_best = avg < self.best_loss
-                if is_best:
-                    self.best_loss = avg
                 self.checkpoint_manager.save(
                     epoch=epoch, params=self.params,
                     opt_state=self.opt_state, global_step=self.global_step,

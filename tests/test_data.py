@@ -1,0 +1,228 @@
+"""Data-layer tests: numbers, tokenizer, synthetic generator, pipeline."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from clip_finegrained_alignment_tpu.data import numbers
+from clip_finegrained_alignment_tpu.data.datasets import (
+    CounterfactualCaptionDataset, CountingDataPipeline,
+    SyntheticCaptionDataset)
+from clip_finegrained_alignment_tpu.data.preprocess import (
+    pad_to_square, preprocess_batch, preprocess_host)
+from clip_finegrained_alignment_tpu.data.synthetic import (
+    generate_procedural_dataset, pack_box, position_phrase, size_category)
+from clip_finegrained_alignment_tpu.data.tokenizer import (
+    CLIPTokenizer, HashTokenizer)
+
+
+# ---------------------------------------------------------------------------
+# numbers
+# ---------------------------------------------------------------------------
+
+def test_find_first_number_digit_vs_word_order():
+    assert numbers.find_first_number("two cats and 3 dogs")[0] == 2
+    assert numbers.find_first_number("3 dogs and two cats")[0] == 3
+    assert numbers.find_first_number("no counts here") is None
+
+
+def test_replace_first_number_formats():
+    s = "A photo of seven apples"
+    assert numbers.replace_first_number(s, 9) == "A photo of nine apples"
+    assert numbers.replace_first_number(s, 9, "numeric") == \
+        "A photo of 9 apples"
+
+
+def test_count_after_with_and_counterfactuals():
+    cap = "A photo of a kitchen scene with 4 cups"
+    assert numbers.count_after_with(cap) == 4
+    cfs = numbers.counterfactual_counts(4)
+    assert len(cfs) == 9 and 4 not in cfs
+    cf = numbers.counterfactual_caption(cap, 1)
+    assert "with 1 cup" in cf
+    cf10 = numbers.counterfactual_caption(cap, 10)
+    assert "with 10 cups" in cf10
+
+
+def test_counterfactual_caption_word_form():
+    cap = "A photo of a table with three oranges"
+    assert numbers.counterfactual_caption(cap, 1) == \
+        "A photo of a table with one orange"
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+def test_hash_tokenizer_layout():
+    tok = HashTokenizer()
+    ids = tok(["three cats", "three cats", "four dogs"])
+    assert ids.shape == (3, 77) and ids.dtype == np.int32
+    assert (ids[0] == ids[1]).all() and not (ids[0] == ids[2]).all()
+    assert ids[0, 0] == tok.bos_token_id
+    row = ids[0]
+    assert tok.eos_token_id in row
+    # padding after EOS
+    eos_pos = int(np.argmax(row == tok.eos_token_id))
+    assert (row[eos_pos + 1:] == tok.pad_token_id).all()
+
+
+def test_clip_bpe_tokenizer_with_toy_merges():
+    """Exercise the real BPE machinery with a constructed merge table."""
+    merges = [("c", "a"), ("ca", "t"), ("cat", "</w>"),
+              ("d", "o"), ("do", "g</w>")]
+    tok = CLIPTokenizer(merges)
+    ids = tok.encode("cat dog")
+    # 'cat' fully merges to one token + '</w>'; decode round-trips.
+    assert tok.decode(ids) == "cat dog"
+    full = tok(["a cat", "dog"])
+    assert full.shape == (2, 77)
+    assert full[0, 0] == tok.bos_token_id
+
+
+# ---------------------------------------------------------------------------
+# synthetic generator
+# ---------------------------------------------------------------------------
+
+def test_size_category_bands():
+    assert size_category(40, 20) == "small"
+    assert size_category(100, 50) == "medium"
+    assert size_category(300, 10) == "large"
+
+
+def test_pack_box_bitshift():
+    assert pack_box([1, 2, 3, 4]) == (1 << 24) | (2 << 16) | (3 << 8) | 4
+
+
+def test_position_phrase_grid():
+    s = position_phrase([[0, 0, 10, 10]], "cat", 90, 90)
+    assert s == "1 cat at top-left"
+    s2 = position_phrase([[0, 0, 10, 10], [80, 80, 89, 89]], "cat", 90, 90)
+    assert s2 == "2 cats at top-left and bottom-right"
+
+
+def test_generate_procedural_dataset(tmp_path):
+    anns = generate_procedural_dataset(
+        str(tmp_path), num_samples=6, image_size=64, max_objects=4,
+        annotation_mode="count", seed=7)
+    assert len(anns) == 6
+    for a in anns:
+        assert os.path.exists(a["image_path"])
+        assert 1 <= a["count"] <= 4
+        assert f"with {a['count']} " in a["caption"]
+    # determinism
+    anns2 = generate_procedural_dataset(
+        str(tmp_path / "again"), num_samples=6, image_size=64,
+        max_objects=4, annotation_mode="count", seed=7)
+    assert [a["caption"] for a in anns] == [a["caption"] for a in anns2]
+
+
+def test_generate_integer_mode(tmp_path):
+    anns = generate_procedural_dataset(
+        str(tmp_path), num_samples=2, image_size=64, max_objects=2,
+        annotation_mode="integer", seed=1, save_images=False)
+    for a in anns:
+        assert "box_integers" in a and len(a["box_integers"]) == a["count"]
+        assert "at positions" in a["caption"]
+
+
+# ---------------------------------------------------------------------------
+# preprocessing
+# ---------------------------------------------------------------------------
+
+def test_pad_to_square_white():
+    img = np.zeros((10, 6, 3), np.uint8)
+    out = pad_to_square(img)
+    assert out.shape == (10, 10, 3)
+    assert (out[:, :2] == 255).all() and (out[:, 2:8] == 0).all()
+
+
+def test_preprocess_batch_matches_host():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    dev = np.asarray(preprocess_batch(img[None], image_size=32))[0]
+    host = preprocess_host(img, image_size=32)
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_dataset_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    generate_procedural_dataset(str(d), num_samples=12, image_size=64,
+                                max_objects=3, seed=3)
+    return str(d)
+
+
+def test_pipeline_standard_batches(tiny_dataset_dir):
+    ds = SyntheticCaptionDataset(
+        os.path.join(tiny_dataset_dir, "synthetic_annotations.json"))
+    assert len(ds) == 12
+    pipe = CountingDataPipeline(ds, batch_size=4, image_size=64,
+                                tokenizer=HashTokenizer(), seed=0)
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 3 == pipe.steps_per_epoch()
+    b = batches[0]
+    assert b["pixel_values"].shape == (4, 64, 64, 3)
+    assert b["pixel_values"].dtype == np.uint8
+    assert b["input_ids"].shape == (4, 77)
+    assert b["count"].shape == (4,)
+    # different epochs shuffle differently
+    b1 = next(iter(pipe.epoch(1)))
+    assert not np.array_equal(b["count"], b1["count"]) or \
+        not np.array_equal(b["input_ids"], b1["input_ids"])
+
+
+def test_pipeline_counterfactual_batches(tiny_dataset_dir):
+    ds = CounterfactualCaptionDataset(
+        os.path.join(tiny_dataset_dir, "synthetic_annotations.json"))
+    pipe = CountingDataPipeline(ds, batch_size=4, mode="counterfactual",
+                                image_size=64, tokenizer=HashTokenizer())
+    b = next(iter(pipe.epoch(0)))
+    assert b["cf_input_ids"].shape == (4, 9, 77)
+    assert b["cf_counts"].shape == (4, 9)
+    # cf counts exclude the gt count
+    for i in range(4):
+        assert b["count"][i] not in b["cf_counts"][i]
+
+
+def test_pipeline_host_sharding(tiny_dataset_dir):
+    ds = SyntheticCaptionDataset(
+        os.path.join(tiny_dataset_dir, "synthetic_annotations.json"))
+    seen = []
+    for pi in range(2):
+        pipe = CountingDataPipeline(ds, batch_size=3, image_size=64,
+                                    tokenizer=HashTokenizer(),
+                                    process_index=pi, process_count=2)
+        for b in pipe.epoch(0):
+            seen.extend(b["input_ids"][:, 1].tolist())
+    # two hosts cover the whole (shuffled) dataset without overlap
+    assert len(seen) == 12
+
+
+def test_end_to_end_tiny_training_from_pipeline(tiny_dataset_dir, rng):
+    """The full slice: procedural data → pipeline → SPMD trainer (tiny
+    model), covering the uint8 fused-normalization path."""
+    from clip_finegrained_alignment_tpu.config import TrainConfig
+    from clip_finegrained_alignment_tpu.train.engine import Trainer
+
+    # 64px images with tiny model (32px): pipeline resizes on host.
+    ds = SyntheticCaptionDataset(
+        os.path.join(tiny_dataset_dir, "synthetic_annotations.json"))
+    cfg = TrainConfig(clip_model="tiny", batch_size=4,
+                      gradient_accumulation_steps=2, lr=1e-3,
+                      loss_type="clip", use_amp=False, log_every=1000)
+    # Tokenizer layout matched to the tiny model config (vocab 256,
+    # bos 254, eos 255, pad 0).
+    pipe = CountingDataPipeline(ds, batch_size=cfg.effective_batch_size,
+                                image_size=32, context_length=16,
+                                tokenizer=HashTokenizer(vocab_size=256))
+    trainer = Trainer(cfg)
+    result = trainer.train(pipe, num_epochs=2, log_fn=None)
+    assert result["global_step"] == 2  # 12 samples // 8 = 1 batch/epoch
+    assert np.isfinite(result["best_loss"])

@@ -64,12 +64,13 @@ def main():
 
     # Warmup (compile) — params/opt_state are donated, so thread them.
     params, opt_state, metrics = step(params, opt_state, batch)
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["total_loss"])  # full host sync (block_until_ready can
+    # return early under the remote-execution tunnel)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         params, opt_state, metrics = step(params, opt_state, batch)
-    jax.block_until_ready(metrics["total_loss"])
+        float(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
     n_chips = 1  # single-chip bench; pairs/sec/chip

@@ -193,6 +193,8 @@ class TrainConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     precision: PrecisionConfig = field(default_factory=PrecisionConfig)
     use_pallas_attention: bool = False    # fused flash attention kernels
+    remat: bool = True                    # per-layer rematerialization
+                                          # (jax.checkpoint) in the towers
     use_fused_sparc: bool = False         # fused SPARC local-alignment kernel
     global_negatives: bool = False        # all-gather embeddings across the
                                           # data axis for the contrastive loss

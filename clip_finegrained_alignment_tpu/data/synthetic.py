@@ -134,9 +134,12 @@ class ProceduralSource:
                + rng.normal(0, 18, size=(s, s, 3))).clip(0, 255)
         return img.astype(np.uint8), "a textured background"
 
-    def object_crop(self, rng: np.random.Generator,
-                    category: str) -> ObjectCrop:
-        lo, hi = SIZE_CATEGORIES[category]
+    def object_crop(self, rng: np.random.Generator, category: str,
+                    side_bounds: Optional[Tuple[int, int]] = None
+                    ) -> ObjectCrop:
+        """``side_bounds`` overrides the category band (e.g. the crop-eval
+        source needs objects under the <0.5%-area cap regardless of band)."""
+        lo, hi = side_bounds if side_bounds else SIZE_CATEGORIES[category]
         hi = min(hi, self.image_size - 1)
         side = int(rng.integers(max(8, lo), max(9, hi)))
         shape = self.SHAPES[rng.integers(len(self.SHAPES))]

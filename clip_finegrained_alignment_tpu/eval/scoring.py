@@ -1,0 +1,119 @@
+"""Shared zero-shot scoring machinery for all evaluators.
+
+The reference evaluators run serially — one CLIP forward per sample, each
+with a ragged list of templates (``cb_eval.py:247-258``,
+``vlms-are-blind/eval.py:240-287``, ``crop_eval.py:138-159``). On TPU that
+shape churn would force a recompile per sample; here every evaluator shares
+one jitted scorer over **fixed-shape padded template slots**:
+
+    pixel_values [B, S, S, 3], template_ids [B, NT, T], template_mask [B, NT]
+      → probs [B, NT]  (masked softmax over each sample's templates)
+
+Samples with fewer than NT templates pad with masked slots (SURVEY.md §7
+hard part (e)); whole datasets stream through in batches, so the eval that
+took one forward per sample takes one forward per B samples.
+
+The thresholded-correctness rule (``cb_eval.py:280-284``,
+``vlms-are-blind/eval.py:276-278``) is a vectorized helper shared by both.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CLIPConfig
+from ..models import clip as m
+
+NEG = -1e9
+
+
+class TemplateScorer:
+    """Jitted image×templates probability scorer."""
+
+    def __init__(self, params, cfg: CLIPConfig, *, dtype=jnp.float32,
+                 use_pallas: bool = False):
+        self.params = params
+        self.cfg = cfg
+
+        @jax.jit
+        def score(params, pixel_values, template_ids, template_mask):
+            B, NT, T = template_ids.shape
+            img = m.encode_image(params, pixel_values, cfg, dtype=dtype,
+                                 use_pallas=use_pallas)       # [B, P]
+            txt = m.encode_text(params, template_ids.reshape(B * NT, T),
+                                cfg, dtype=dtype,
+                                use_pallas=use_pallas)        # [B*NT, P]
+            img = img.astype(jnp.float32)
+            txt = txt.astype(jnp.float32).reshape(B, NT, -1)
+            img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+            txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+            scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
+            logits = jnp.einsum("bd,bnd->bn", img, txt) * scale
+            logits = jnp.where(template_mask > 0, logits, NEG)
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._score = score
+
+    def __call__(self, pixel_values: np.ndarray, template_ids: np.ndarray,
+                 template_mask: np.ndarray) -> np.ndarray:
+        return np.asarray(self._score(
+            self.params, jnp.asarray(pixel_values),
+            jnp.asarray(template_ids), jnp.asarray(template_mask)))
+
+    def image_embeddings(self, pixel_values) -> np.ndarray:
+        fn = jax.jit(functools.partial(m.encode_image, cfg=self.cfg))
+        return np.asarray(fn(self.params,
+                             jnp.asarray(pixel_values)))
+
+
+def pad_templates(template_ids_list, pos_indices_list, max_templates: int,
+                  context_length: int, pad_token_id: int = 0):
+    """Ragged per-sample template sets → fixed [B, NT, T] + masks.
+
+    ``pos_indices_list[i]`` gives the slots holding positive templates
+    (arrangement — ``first`` or ``random``, ``cb_eval.py:113-123`` — is
+    applied by the caller before padding, so indices are arbitrary).
+    Returns (ids, valid_mask, pos_mask)."""
+    B = len(template_ids_list)
+    ids = np.full((B, max_templates, context_length), pad_token_id,
+                  np.int32)
+    valid = np.zeros((B, max_templates), np.float32)
+    pos = np.zeros((B, max_templates), np.float32)
+    for i, t in enumerate(template_ids_list):
+        n = min(len(t), max_templates)
+        ids[i, :n] = t[:n]
+        valid[i, :n] = 1.0
+        for j in pos_indices_list[i]:
+            if j < n:
+                pos[i, j] = 1.0
+    return ids, valid, pos
+
+
+def thresholded_decision(probs: np.ndarray, pos_mask: np.ndarray,
+                         valid_mask: np.ndarray, confidence: float,
+                         margin: float):
+    """The reference's correctness rule, vectorized over B samples
+    (``cb_eval.py:272-284``): correct iff best-positive prob >
+    confidence AND > best-negative + margin AND is the global argmax.
+
+    Returns dict with correct [B] bool, best_pos_prob [B], argmax_idx [B].
+    """
+    probs = np.where(valid_mask > 0, probs, -1.0)
+    pos_probs = np.where(pos_mask > 0, probs, -1.0)
+    neg_probs = np.where((pos_mask == 0) & (valid_mask > 0), probs, -1.0)
+    best_pos = pos_probs.max(axis=-1)
+    best_neg = neg_probs.max(axis=-1)
+    # reference: best_neg defaults to 0.0 when there are no negatives
+    best_neg = np.where(best_neg < 0, 0.0, best_neg)
+    argmax_idx = probs.argmax(axis=-1)
+    is_argmax = best_pos >= probs.max(axis=-1)
+    correct = ((best_pos > confidence)
+               & (best_pos > best_neg + margin)
+               & is_argmax)
+    return {"correct": correct, "confidence": best_pos,
+            "argmax_idx": argmax_idx}

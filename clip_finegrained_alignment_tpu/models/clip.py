@@ -198,8 +198,14 @@ def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False):
 
 
 def encoder(params_stacked, x, bias, num_heads, eps, *, dtype,
-            use_pallas=False):
-    """Pre-LN transformer encoder over stacked layer params via lax.scan."""
+            use_pallas=False, remat=False):
+    """Pre-LN transformer encoder over stacked layer params via lax.scan.
+
+    ``remat=True`` wraps the layer body in ``jax.checkpoint`` so backward
+    recomputes activations layer-by-layer instead of storing them — the
+    standard TPU memory/FLOPs trade that keeps big batches inside HBM
+    (replaces nothing in the reference; torch keeps all activations).
+    """
 
     def body(h, layer_p):
         r = h
@@ -213,6 +219,8 @@ def encoder(params_stacked, x, bias, num_heads, eps, *, dtype,
         h = linear(layer_p["fc2"], h, dtype)
         return r + h, None
 
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
     out, _ = jax.lax.scan(body, x, params_stacked)
     return out
 
@@ -241,7 +249,8 @@ def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
 
 
 def vision_tower(params: Params, pixel_values: jax.Array, cfg: VisionConfig,
-                 *, dtype=jnp.float32, use_pallas=False) -> TowerOutput:
+                 *, dtype=jnp.float32, use_pallas=False,
+                 remat=False) -> TowerOutput:
     """ViT image tower. ``pixel_values``: [B, H, W, 3] NHWC, normalized."""
     p = params
     x = patchify(pixel_values.astype(dtype), cfg.patch_size)
@@ -252,7 +261,7 @@ def vision_tower(params: Params, pixel_values: jax.Array, cfg: VisionConfig,
     x = x + p["position_embedding"].astype(dtype)[None]
     x = layer_norm(p["pre_layernorm"], x, cfg.layer_norm_eps)
     x = encoder(p["layers"], x, None, cfg.num_heads, cfg.layer_norm_eps,
-                dtype=dtype, use_pallas=use_pallas)
+                dtype=dtype, use_pallas=use_pallas, remat=remat)
     pooled = layer_norm(p["post_layernorm"], x[:, 0], cfg.layer_norm_eps)
     return TowerOutput(last_hidden_state=x, pooled=pooled)
 
@@ -269,7 +278,8 @@ def _text_attention_bias(input_ids, attention_mask, seq_len):
 
 def text_tower(params: Params, input_ids: jax.Array, cfg: TextConfig,
                *, attention_mask: Optional[jax.Array] = None,
-               dtype=jnp.float32, use_pallas=False) -> TowerOutput:
+               dtype=jnp.float32, use_pallas=False,
+               remat=False) -> TowerOutput:
     """Text transformer tower. ``input_ids``: [B, T] int32.
 
     Pooling follows HF: hidden state at the **first EOS token** position.
@@ -284,7 +294,7 @@ def text_tower(params: Params, input_ids: jax.Array, cfg: TextConfig,
     x = x + p["position_embedding"].astype(dtype)[None, :T]
     bias = _text_attention_bias(input_ids, attention_mask, T)
     x = encoder(p["layers"], x, bias, cfg.num_heads, cfg.layer_norm_eps,
-                dtype=dtype, use_pallas=use_pallas)
+                dtype=dtype, use_pallas=use_pallas, remat=remat)
     x = layer_norm(p["final_layernorm"], x, cfg.layer_norm_eps)
     eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
                          axis=-1)
@@ -312,36 +322,38 @@ class CLIPOutput(NamedTuple):
 
 
 def encode_image(params: Params, pixel_values: jax.Array, cfg: CLIPConfig,
-                 *, dtype=jnp.float32, use_pallas=False) -> jax.Array:
+                 *, dtype=jnp.float32, use_pallas=False,
+                 remat=False) -> jax.Array:
     """Projected image embedding (un-normalized), as HF ``get_image_features``
     / OpenAI ``model.encode_image`` (``count_finetuner.py:107``)."""
     out = vision_tower(params["vision"], pixel_values, cfg.vision,
-                       dtype=dtype, use_pallas=use_pallas)
+                       dtype=dtype, use_pallas=use_pallas, remat=remat)
     return linear(params["visual_projection"], out.pooled, dtype)
 
 
 def encode_text(params: Params, input_ids: jax.Array, cfg: CLIPConfig,
                 *, attention_mask=None, dtype=jnp.float32,
-                use_pallas=False) -> jax.Array:
+                use_pallas=False, remat=False) -> jax.Array:
     """Projected text embedding (un-normalized)."""
     out = text_tower(params["text"], input_ids, cfg.text,
                      attention_mask=attention_mask, dtype=dtype,
-                     use_pallas=use_pallas)
+                     use_pallas=use_pallas, remat=remat)
     return linear(params["text_projection"], out.pooled, dtype)
 
 
 def clip_forward(params: Params, pixel_values: jax.Array,
                  input_ids: jax.Array, cfg: CLIPConfig, *,
                  attention_mask: Optional[jax.Array] = None,
-                 dtype=jnp.float32, use_pallas=False) -> CLIPOutput:
+                 dtype=jnp.float32, use_pallas=False,
+                 remat=False) -> CLIPOutput:
     """Full dual-tower forward returning everything any reference loss needs
     in one pass (the reference re-encodes for some paths, e.g.
     ``count_finetuner.py:107-123``; here one forward serves all)."""
     v = vision_tower(params["vision"], pixel_values, cfg.vision,
-                     dtype=dtype, use_pallas=use_pallas)
+                     dtype=dtype, use_pallas=use_pallas, remat=remat)
     t = text_tower(params["text"], input_ids, cfg.text,
                    attention_mask=attention_mask, dtype=dtype,
-                   use_pallas=use_pallas)
+                   use_pallas=use_pallas, remat=remat)
     image_embeds = linear(params["visual_projection"], v.pooled, dtype)
     text_embeds = linear(params["text_projection"], t.pooled, dtype)
 

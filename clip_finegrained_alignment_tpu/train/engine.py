@@ -79,7 +79,8 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
     use_pallas = cfg.use_pallas_attention
 
     out = m.clip_forward(params, pixel_values, input_ids, model_cfg,
-                         dtype=dtype, use_pallas=use_pallas)
+                         dtype=dtype, use_pallas=use_pallas,
+                         remat=cfg.remat)
 
     if cfg.loss_type == "sparc":
         # Project full hidden sequences into the shared space
@@ -99,8 +100,8 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
         cf = batch["cf_input_ids"]
         B, N, T = cf.shape
         ek_cf = m.encode_text(params, cf.reshape(B * N, T), model_cfg,
-                              dtype=dtype,
-                              use_pallas=use_pallas).reshape(B, N, -1)
+                              dtype=dtype, use_pallas=use_pallas,
+                              remat=cfg.remat).reshape(B, N, -1)
         losses = L.count_loss(
             out.logits_per_image, out.logits_per_text,
             out.image_embeds, out.text_embeds, ek_cf,
@@ -110,8 +111,8 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
         if group is not None:
             B, G, T = group.shape
             ek = m.encode_text(params, group.reshape(B * G, T), model_cfg,
-                               dtype=dtype,
-                               use_pallas=use_pallas).reshape(B, G, -1)
+                               dtype=dtype, use_pallas=use_pallas,
+                               remat=cfg.remat).reshape(B, G, -1)
         else:
             ek = None
         losses = L.clip_count_loss(out.image_embeds, out.text_embeds, ek,

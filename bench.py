@@ -34,14 +34,18 @@ def main():
     from clip_finegrained_alignment_tpu.optim.factory import make_optimizer
     from clip_finegrained_alignment_tpu.train.engine import make_train_step
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    import os
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    use_fused_sparc = os.environ.get("BENCH_FUSED_SPARC", "1") == "1"
 
     model_cfg = CLIPConfig.vit_b16()
     cfg = TrainConfig(
         clip_model="ViT-B/16", loss_type="sparc", optimizer_type="adamspd",
         inverse_temperature=0.07, batch_size=batch_size,
-        gradient_accumulation_steps=1, use_amp=True)
+        gradient_accumulation_steps=1, use_amp=True,
+        use_pallas_attention=use_pallas, use_fused_sparc=use_fused_sparc)
 
     params = m.init_clip_params(jax.random.key(0), model_cfg)
     anchor = jax.tree.map(jnp.copy, params)

@@ -189,7 +189,7 @@ def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False):
 
     if use_pallas:
         from ..ops.attention import flash_attention
-        out = flash_attention(q, k, v, bias=bias, scale=scale)
+        out = flash_attention(q, k, v, bias, scale)
     else:
         out = _xla_attention(q, k, v, bias, scale)
 

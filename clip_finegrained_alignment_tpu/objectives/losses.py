@@ -198,7 +198,8 @@ def sparc_loss(v_patch_embed: jax.Array, l_token_embed: jax.Array,
                similarity_threshold: float = 0.5,
                global_loss_weight: float = 1.0,
                local_loss_weight: float = 1.0,
-               inverse_temperature: float = 1.0) -> Dict[str, jax.Array]:
+               inverse_temperature: float = 1.0,
+               use_fused: bool = False) -> Dict[str, jax.Array]:
     """SPARC fine-grained patch↔token alignment loss (losses.py:199-264).
 
     v_patch_embed: [B, P, D] projected vision last_hidden_state;
@@ -225,13 +226,21 @@ def sparc_loss(v_patch_embed: jax.Array, l_token_embed: jax.Array,
     global_loss = 0.5 * (loss_vl + loss_lv)
 
     # ---------- LOCAL ----------
-    v_norm = l2_normalize(v_patch_embed)
-    l_norm = l2_normalize(l_token_embed)
-    similarity = jnp.einsum("btd,bpd->btp", l_norm, v_norm)       # [B, T, P]
-    weights = sparc_alignment_weights(similarity, mask, similarity_threshold)
-    # Language-grouped patch pooling on *unnormalized* patches (quirk,
-    # losses.py:245).
-    l_grouped = jnp.einsum("btp,bpd->btd", weights, v_patch_embed)
+    if use_fused:
+        # One-VMEM-pass Pallas kernel (similarity → min-max → threshold →
+        # pooling); numerically equal to the unfused chain below.
+        from ..ops.sparc_kernel import fused_sparc_pooling
+        l_grouped = fused_sparc_pooling(v_patch_embed, l_token_embed,
+                                        mask, similarity_threshold)
+    else:
+        v_norm = l2_normalize(v_patch_embed)
+        l_norm = l2_normalize(l_token_embed)
+        similarity = jnp.einsum("btd,bpd->btp", l_norm, v_norm)   # [B, T, P]
+        weights = sparc_alignment_weights(similarity, mask,
+                                          similarity_threshold)
+        # Language-grouped patch pooling on *unnormalized* patches (quirk,
+        # losses.py:245).
+        l_grouped = jnp.einsum("btp,bpd->btd", weights, v_patch_embed)
 
     loss_vl_local = masked_pairwise_contrastive_loss(
         l_grouped, l_token_embed, mask, inverse_temperature)

@@ -1,0 +1,160 @@
+"""Fused SPARC local-alignment Pallas kernel.
+
+The SPARC local term chains five ops per batch element
+(``/root/reference/finetune/losses.py:221-245``; pure-XLA re-implementation
+in ``objectives/losses.py``):
+
+    l_norm = normalize(l_token)          [T, D]
+    v_norm = normalize(v_patch)          [P, D]
+    sim    = l_norm @ v_normᵀ            [T, P]
+    w      = renorm(threshold(minmax(sim, mask)))   [T, P]
+    out    = w @ v_patch                 [T, D]   (unnormalized patches —
+                                                   the reference quirk)
+
+Left to XLA this materializes sim and w in HBM between fusions; this kernel
+(the BASELINE.json north-star "similarity → min-max → threshold → pooling in
+one kernel") runs the whole chain per batch element inside VMEM — HBM sees
+only v_patch, l_token, mask in and the pooled [T, D] out. At CLIP shapes
+(T=77, P≤197, D=512) every intermediate fits VMEM with room to spare, so
+the grid is simply (B,).
+
+Backward: ``jax.custom_vjp`` that recomputes through the pure-XLA chain
+(``objectives.losses.sparc_alignment_weights``) — gradients are therefore
+*definitionally* identical to the unfused path, which the golden tests
+already pin to the reference math. Residuals are just the inputs
+(flash-style recompute, no [T, P] tensors stored).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-8  # matches objectives/losses.py
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _sparc_kernel(v_ref, l_ref, mask_ref, o_ref, *, threshold: float,
+                  num_patches: int):
+    """One batch element: v [Pp, D], l [Tp, D], mask [1, Tp] → out [Tp, D]."""
+    v = v_ref[0].astype(jnp.float32)                      # [Pp, D]
+    l = l_ref[0].astype(jnp.float32)                      # [Tp, D]
+    mask = mask_ref[0]                                    # [1, Tp] f32
+    Tp = l.shape[0]
+    Pp = v.shape[0]
+
+    # Plain-norm division (eps=0) for exact parity with
+    # objectives.losses.l2_normalize; padded all-zero rows divide to 0/0 →
+    # NaN there, but they are masked out of every consumer below, matching
+    # the unfused path. Guard padded rows only.
+    v_sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    l_sq = jnp.sum(l * l, axis=-1, keepdims=True)
+    v_norm = v * jax.lax.rsqrt(jnp.where(v_sq > 0, v_sq, 1.0))
+    l_norm = l * jax.lax.rsqrt(jnp.where(l_sq > 0, l_sq, 1.0))
+
+    sim = jax.lax.dot_general(                            # [Tp, Pp]
+        l_norm, v_norm, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    tmask = mask.reshape(Tp, 1)                           # [Tp, 1]
+    col_valid = (jax.lax.broadcasted_iota(jnp.int32, (Tp, Pp), 1)
+                 < num_patches)
+    sim_masked = sim * tmask
+    big = jnp.float32(3.4e38)
+    consider = (tmask > 0) & col_valid
+    sim_min = jnp.min(jnp.where(consider, sim_masked, big), axis=-1,
+                      keepdims=True)
+    sim_max = jnp.max(jnp.where(consider, sim_masked, -big), axis=-1,
+                      keepdims=True)
+    normalized = (sim_masked - sim_min) / (sim_max - sim_min + _EPS)
+    thresholded = jnp.where(normalized < threshold, 0.0, normalized)
+    thresholded = jnp.where(consider, thresholded * tmask, 0.0)
+    denom = jnp.clip(jnp.sum(thresholded, axis=-1, keepdims=True),
+                     _EPS, None)
+    w = thresholded / denom                               # [Tp, Pp]
+
+    o_ref[0] = jax.lax.dot_general(                       # [Tp, D]
+        w, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _fused_forward(v_patch, l_token, mask, threshold):
+    B, P, D = v_patch.shape
+    T = l_token.shape[1]
+    Pp, Tp = _round_up(P, 8), _round_up(T, 8)
+    v = jnp.pad(v_patch.astype(jnp.float32),
+                [(0, 0), (0, Pp - P), (0, 0)])
+    l = jnp.pad(l_token.astype(jnp.float32),
+                [(0, 0), (0, Tp - T), (0, 0)])
+    m = jnp.pad(mask.astype(jnp.float32), [(0, 0), (0, Tp - T)])
+
+    out = pl.pallas_call(
+        functools.partial(_sparc_kernel, threshold=float(threshold),
+                          num_patches=P),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Pp, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Tp * Pp * D,
+            bytes_accessed=4 * B * (Pp * D + 2 * Tp * D),
+            transcendentals=0),
+        interpret=_interpret(),
+    )(v, l, m)
+    return out[:, :T]
+
+
+def _reference_chain(v_patch, l_token, mask, threshold):
+    """The pure-XLA chain (objectives/losses.py) used for the backward."""
+    from ..objectives.losses import l2_normalize, sparc_alignment_weights
+    v32 = v_patch.astype(jnp.float32)
+    l32 = l_token.astype(jnp.float32)
+    sim = jnp.einsum("btd,bpd->btp", l2_normalize(l32), l2_normalize(v32))
+    w = sparc_alignment_weights(sim, mask, threshold)
+    return jnp.einsum("btp,bpd->btd", w, v32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_sparc_pooling(v_patch: jax.Array, l_token: jax.Array,
+                        mask: jax.Array, threshold: float) -> jax.Array:
+    """Language-grouped patch pooling, fused. v_patch [B, P, D] projected
+    patch embeddings (unnormalized), l_token [B, T, D], mask [B, T] →
+    [B, T, D] fp32. Numerically equal to the unfused chain in
+    ``objectives/losses.py`` (validated in ``tests/test_ops.py``)."""
+    return _fused_forward(v_patch, l_token, mask, threshold)
+
+
+def _fsp_fwd(v_patch, l_token, mask, threshold):
+    return _fused_forward(v_patch, l_token, mask, threshold), \
+        (v_patch, l_token, mask)
+
+
+def _fsp_bwd(threshold, res, g):
+    v_patch, l_token, mask = res
+    _, vjp = jax.vjp(
+        lambda vp, lt: _reference_chain(vp, lt, mask, threshold),
+        v_patch, l_token)
+    dv, dl = vjp(g)
+    return dv, dl, None
+
+
+fused_sparc_pooling.defvjp(_fsp_fwd, _fsp_bwd)

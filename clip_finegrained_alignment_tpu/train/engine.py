@@ -92,7 +92,8 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
             similarity_threshold=cfg.similarity_threshold,
             global_loss_weight=cfg.global_loss_weight,
             local_loss_weight=cfg.local_loss_weight,
-            inverse_temperature=cfg.inverse_temperature)
+            inverse_temperature=cfg.inverse_temperature,
+            use_fused=cfg.use_fused_sparc)
     elif cfg.loss_type == "count":
         # Counterfactual CountLoss (count_finetuner.py:107-131): the
         # reference encodes each sample's 9 cf captions in a Python loop

@@ -1,0 +1,145 @@
+"""Pallas kernel validation against the XLA reference paths (interpret mode
+on CPU; the same kernels compile natively on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clip_finegrained_alignment_tpu.models.clip import _xla_attention
+from clip_finegrained_alignment_tpu.objectives import losses as L
+from clip_finegrained_alignment_tpu.ops.attention import flash_attention
+from clip_finegrained_alignment_tpu.ops.sparc_kernel import (
+    _reference_chain, fused_sparc_pooling)
+
+
+def make_qkv(rng, B=2, H=4, S=19, D=16):
+    q = rng.normal(size=(B, H, S, D)).astype(np.float32)
+    k = rng.normal(size=(B, H, S, D)).astype(np.float32)
+    v = rng.normal(size=(B, H, S, D)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention
+# ---------------------------------------------------------------------------
+
+def test_attention_forward_matches_xla_no_bias(rng):
+    q, k, v = make_qkv(rng)
+    scale = (q.shape[-1]) ** -0.5
+    ours = flash_attention(q, k, v, None, scale)
+    ref = _xla_attention(q, k, v, None, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_attention_forward_matches_xla_with_bias(rng):
+    """Causal + padding bias, exactly like the text tower."""
+    B, H, S, D = 2, 2, 13, 8
+    q, k, v = make_qkv(rng, B, H, S, D)
+    causal = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)
+    pad = np.zeros((B, S), np.float32)
+    pad[0, 9:] = -1e9   # sample 0: last 4 keys padded
+    bias = causal[None, None] + jnp.asarray(pad)[:, None, None, :]
+    scale = D ** -0.5
+    ours = flash_attention(q, k, v, bias, scale)
+    ref = _xla_attention(q, k, v, bias, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_attention_grads_match_xla(rng):
+    B, H, S, D = 2, 2, 11, 8
+    q, k, v = make_qkv(rng, B, H, S, D)
+    causal = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)[None, None]
+    scale = D ** -0.5
+
+    def loss_ours(q, k, v):
+        return (flash_attention(q, k, v, causal, scale) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_attention(q, k, v, causal, scale) ** 2).sum()
+
+    go = jax.grad(loss_ours, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(go, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_attention_odd_head_count(rng):
+    """H not divisible by the head-group falls back to smaller groups."""
+    q, k, v = make_qkv(rng, B=1, H=3, S=9, D=8)
+    scale = 8 ** -0.5
+    ours = flash_attention(q, k, v, None, scale)
+    ref = _xla_attention(q, k, v, None, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_model_forward_pallas_matches_xla(rng):
+    """Whole tiny-model forward: use_pallas=True vs False."""
+    from clip_finegrained_alignment_tpu.config import CLIPConfig
+    from clip_finegrained_alignment_tpu.models import clip as m
+    cfg = CLIPConfig.tiny_test()
+    params = m.init_clip_params(jax.random.key(0), cfg)
+    px = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    ids = rng.integers(1, 200, size=(2, 16)).astype(np.int32)
+    ids[:, -1] = cfg.text.eos_token_id
+    ids = jnp.asarray(ids)
+    a = m.clip_forward(params, px, ids, cfg, use_pallas=False)
+    b = m.clip_forward(params, px, ids, cfg, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a.logits_per_image),
+                               np.asarray(b.logits_per_image),
+                               rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused SPARC pooling
+# ---------------------------------------------------------------------------
+
+def make_sparc_inputs(rng, B=3, P=10, T=7, D=12):
+    v = jnp.asarray(rng.normal(size=(B, P, D)).astype(np.float32))
+    l = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    mask = np.ones((B, T), np.float32)
+    mask[0, T // 2:] = 0.0      # partially padded first sample
+    return v, l, jnp.asarray(mask)
+
+
+def test_fused_sparc_matches_unfused(rng):
+    v, l, mask = make_sparc_inputs(rng)
+    ours = fused_sparc_pooling(v, l, mask, 0.5)
+    ref = _reference_chain(v, l, mask, 0.5)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("threshold", [0.0, 0.5, 0.95])
+def test_fused_sparc_thresholds(rng, threshold):
+    v, l, mask = make_sparc_inputs(rng, B=2, P=17, T=9, D=8)
+    ours = fused_sparc_pooling(v, l, mask, threshold)
+    ref = _reference_chain(v, l, mask, threshold)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_sparc_grads_match_unfused(rng):
+    v, l, mask = make_sparc_inputs(rng, B=2, P=6, T=5, D=8)
+
+    g1 = jax.grad(lambda v, l: (fused_sparc_pooling(v, l, mask, 0.5)
+                                ** 2).sum(), argnums=(0, 1))(v, l)
+    g2 = jax.grad(lambda v, l: (_reference_chain(v, l, mask, 0.5)
+                                ** 2).sum(), argnums=(0, 1))(v, l)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sparc_loss_fused_flag_equivalence(rng):
+    v, l, mask = make_sparc_inputs(rng)
+    a = L.sparc_loss(v, l, mask, inverse_temperature=0.07, use_fused=False)
+    b = L.sparc_loss(v, l, mask, inverse_temperature=0.07, use_fused=True)
+    np.testing.assert_allclose(float(a["total_loss"]),
+                               float(b["total_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(a["local_loss"]),
+                               float(b["local_loss"]), rtol=1e-5)

@@ -1,0 +1,144 @@
+"""Evaluation CLI — the three benchmark entry points
+(``count-bench/cb_eval.py:407-475``, ``vlms-are-blind/eval.py:347-410``,
+``zero_shot_detection/crop_eval.py:291-311``) behind one subcommand
+interface::
+
+    python -m clip_finegrained_alignment_tpu.cli.evaluate countbench \
+        --model ViT-B/32 --confidence 0.2 --margin 0.01 --format word
+    python -m clip_finegrained_alignment_tpu.cli.evaluate vlmsblind \
+        --model ViT-L/14 --confidence 0.25
+    python -m clip_finegrained_alignment_tpu.cli.evaluate crop \
+        --coco-dir dataset/coco --samples 500
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--model", default="ViT-B/32")
+        sp.add_argument("--checkpoint", default=None,
+                        help="orbax dir, reference .pt, or HF name")
+        sp.add_argument("--pretrained", default=None,
+                        help="HF weights to start from (else random)")
+        sp.add_argument("--batch-size", type=int, default=32)
+        sp.add_argument("--output-dir", default="eval_results")
+        sp.add_argument("--bpe-path", default=None)
+        sp.add_argument("--pallas", action="store_true")
+
+    cb = sub.add_parser("countbench")
+    common(cb)
+    cb.add_argument("--confidence", type=float, default=0.2)
+    cb.add_argument("--margin", type=float, default=0.01)
+    cb.add_argument("--format", default="word",
+                    choices=["numeric", "word", "both"])
+    cb.add_argument("--position", default="first",
+                    choices=["first", "random"])
+    cb.add_argument("--dataset", default=None,
+                    help="local JSON or HF name (default nielsr/countbench)")
+
+    vb = sub.add_parser("vlmsblind")
+    common(vb)
+    vb.add_argument("--confidence", type=float, default=0.25)
+    vb.add_argument("--margin", type=float, default=0.01)
+    vb.add_argument("--dataset", default=None)
+
+    cr = sub.add_parser("crop")
+    common(cr)
+    cr.add_argument("--coco-dir", default=None,
+                    help="COCO root (omit for the procedural source)")
+    cr.add_argument("--samples", type=int, default=500)
+    cr.add_argument("--white-square", action="store_true")
+    cr.add_argument("--output", default="crop_evaluation_results.json")
+    return p
+
+
+def load_params(args, model_cfg):
+    """Checkpoint resolution shared by all subcommands: orbax dir →
+    reference torch .pt (non-strict spirit, cb_eval.py:53-61) → HF name →
+    random init."""
+    import jax
+
+    from ..models import clip as m, hf_import
+
+    src = args.checkpoint or args.pretrained
+    if src is None:
+        print("no checkpoint/pretrained given: RANDOM INIT (hermetic run)")
+        return m.init_clip_params(jax.random.key(0), model_cfg)
+    if src.endswith((".pt", ".pth", ".bin")):
+        params, meta = hf_import.load_reference_checkpoint(src, model_cfg)
+        print(f"loaded reference checkpoint {src}")
+        return params
+    import os
+    if os.path.isdir(src):  # orbax
+        from ..train.checkpoint import CheckpointManager
+        mgr = CheckpointManager(os.path.dirname(src) or ".")
+        like = {"params": m.init_clip_params(jax.random.key(0), model_cfg),
+                "opt_state": {}}
+        state, _ = mgr.restore(os.path.basename(src),
+                               like={"params": like["params"],
+                                     "opt_state": {}})
+        return state["params"]
+    params, _ = hf_import.load_hf_clip(src)
+    return params
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from ..config import CLIPConfig
+    from ..data.tokenizer import load_tokenizer
+
+    model_cfg = CLIPConfig.from_name(args.model)
+    params = load_params(args, model_cfg)
+    tokenizer = load_tokenizer(args.bpe_path)
+
+    if args.command == "countbench":
+        from ..eval.countbench import CountBenchEvaluator, load_countbench
+        ev = CountBenchEvaluator(
+            params, model_cfg, confidence=args.confidence,
+            margin=args.margin, number_format=args.format,
+            template_position=args.position, tokenizer=tokenizer,
+            batch_size=args.batch_size, use_pallas=args.pallas)
+        samples = load_countbench(args.dataset)
+        results = ev.evaluate_dataset(samples)
+        metrics = ev.compute_metrics(results)
+        ev.save_results(results, metrics, args.output_dir)
+        print(json.dumps(metrics, indent=2))
+
+    elif args.command == "vlmsblind":
+        from ..eval.vlmsblind import VLMsBlindEvaluator, load_vlmsblind
+        ev = VLMsBlindEvaluator(
+            params, model_cfg, confidence=args.confidence,
+            margin=args.margin, tokenizer=tokenizer,
+            batch_size=args.batch_size, use_pallas=args.pallas)
+        samples = load_vlmsblind(args.dataset)
+        metrics = ev.run_all_tasks(samples, output_dir=args.output_dir)
+        print(json.dumps(metrics, indent=2))
+
+    elif args.command == "crop":
+        from ..eval.crop_detection import (CocoObjectSource,
+                                           CropDetectionEvaluator,
+                                           ProceduralObjectSource)
+        source = CocoObjectSource(args.coco_dir) if args.coco_dir \
+            else ProceduralObjectSource()
+        ev = CropDetectionEvaluator(
+            params, model_cfg, tokenizer=tokenizer,
+            use_pallas=args.pallas, use_white_square=args.white_square)
+        results = ev.run_evaluation(source, num_samples=args.samples)
+        ev.save(results, args.output)
+        print("\nEvaluation Summary:")
+        for cond, stats in results["aggregate_stats"].items():
+            print(f"{cond}: accuracy {stats['accuracy']:.2%} "
+                  f"(pos {stats['avg_positive']:.3f} / "
+                  f"neg {stats['avg_negative']:.3f})")
+
+
+if __name__ == "__main__":
+    main()

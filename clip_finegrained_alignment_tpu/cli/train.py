@@ -1,0 +1,193 @@
+"""Training CLI — one entry point replacing all three reference mains
+(``finetune/finetuner.py:276-344``, ``finetune/dist_finetuner.py:349-417``,
+``finetune/count_finetuner.py:237-276``): the loss/optimizer switch picks
+the behavior, the mesh picks the scale (1 chip or a pod slice — no
+torchrun/NCCL split; multi-host just runs this same script per host after
+``jax.distributed.initialize``).
+
+Example::
+
+    python -m clip_finegrained_alignment_tpu.cli.train \
+        --annotations data/synthetic/synthetic_annotations.json \
+        --loss-type sparc --optimizer adamspd --epochs 10 \
+        --experiment-name sparc_spd_b32
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # Reference flag surface (finetuner.py:277-288 + count_finetuner
+    # :239-247), unified.
+    p.add_argument("--annotations", required=True,
+                   help="synthetic_annotations.json path")
+    p.add_argument("--model", default="ViT-B/32",
+                   help="ViT-B/32 | ViT-B/16 | ViT-L/14 | tiny")
+    p.add_argument("--loss-type", default="sparc",
+                   choices=["clip", "sparc", "count", "clip_count"])
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "adamspd"])
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--grad-accum", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--weight-decay", type=float, default=0.1)
+    p.add_argument("--count-alpha", type=float, default=1.0)
+    p.add_argument("--inverse-temperature", type=float, default=0.07)
+    p.add_argument("--similarity-threshold", type=float, default=0.5)
+    p.add_argument("--experiment-name", default="clip_finetune")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the best checkpoint if present")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--save-every", type=int, default=5)
+    # TPU-native knobs.
+    p.add_argument("--no-amp", action="store_true",
+                   help="full fp32 (use_amp=False)")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas attention + SPARC kernels")
+    p.add_argument("--global-negatives", action="store_true",
+                   help="contrastive loss over the global batch "
+                        "(all-gather over ICI) instead of DDP-parity "
+                        "local negatives")
+    p.add_argument("--pretrained", default=None,
+                   help="HF model name or reference .pt checkpoint to "
+                        "initialize from (default: random init when "
+                        "offline)")
+    p.add_argument("--bpe-path", default=None,
+                   help="CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz or "
+                        "an HF tokenizer dir); falls back to the hash "
+                        "tokenizer")
+    p.add_argument("--eval-every-epoch", action="store_true",
+                   help="run the counting batch-eval after each epoch "
+                        "(count_finetuner.py:153-168 behavior)")
+    p.add_argument("--metrics-file", default=None)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from ..config import MeshConfig, TrainConfig
+    from ..data.datasets import (CounterfactualCaptionDataset,
+                                 CountingDataPipeline,
+                                 SyntheticCaptionDataset)
+    from ..data.tokenizer import load_tokenizer
+    from ..eval.batch_eval import evaluate_batch
+    from ..parallel import mesh as pmesh
+    from ..train.checkpoint import CheckpointManager
+    from ..train.engine import Trainer
+    from ..utils import MetricsLogger, ThroughputMeter
+
+    pmesh.distributed_init()
+
+    cfg = TrainConfig(
+        lr=args.lr, batch_size=args.batch_size,
+        gradient_accumulation_steps=args.grad_accum,
+        max_epochs=args.epochs, weight_decay=args.weight_decay,
+        use_amp=not args.no_amp, clip_model=args.model,
+        experiment_name=args.experiment_name, loss_type=args.loss_type,
+        similarity_threshold=args.similarity_threshold,
+        inverse_temperature=args.inverse_temperature,
+        optimizer_type=args.optimizer, count_alpha=args.count_alpha,
+        seed=args.seed, use_pallas_attention=args.pallas,
+        use_fused_sparc=args.pallas,
+        global_negatives=args.global_negatives,
+        checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
+        mesh=MeshConfig(data=jax.device_count(), model=1))
+    cfg.print_config()
+    model_cfg = cfg.model_config()
+
+    # ---------------- data ----------------
+    mode = "counterfactual" if args.loss_type == "count" else "standard"
+    ds_cls = CounterfactualCaptionDataset if mode == "counterfactual" \
+        else SyntheticCaptionDataset
+    dataset = ds_cls(args.annotations)
+    tokenizer = load_tokenizer(args.bpe_path)
+    pipeline = CountingDataPipeline(
+        dataset, cfg.effective_batch_size, mode=mode,
+        image_size=model_cfg.vision.image_size,
+        context_length=model_cfg.text.max_position_embeddings,
+        tokenizer=tokenizer, seed=cfg.seed)
+    print(f"dataset: {len(dataset)} samples, "
+          f"{pipeline.steps_per_epoch()} steps/epoch")
+
+    # ---------------- params ----------------
+    params = None
+    if args.pretrained:
+        from ..models import hf_import
+        if args.pretrained.endswith((".pt", ".pth", ".bin")):
+            params, meta = hf_import.load_reference_checkpoint(
+                args.pretrained, model_cfg)
+            print(f"loaded reference checkpoint (step "
+                  f"{meta.get('global_step')})")
+        else:
+            params, _ = hf_import.load_hf_clip(args.pretrained)
+            print(f"loaded HF weights: {args.pretrained}")
+
+    # ---------------- engine ----------------
+    mesh = pmesh.make_mesh(cfg.mesh) if jax.device_count() > 1 else None
+    ckpt_dir = os.path.join(args.checkpoint_dir, args.experiment_name)
+    manager = CheckpointManager(ckpt_dir, save_every=cfg.save_every)
+    trainer = Trainer(cfg, params=params, mesh=mesh,
+                      checkpoint_manager=manager)
+
+    start_epoch = 0
+    if args.resume and os.path.isdir(os.path.join(ckpt_dir, "best")):
+        like = {"params": trainer.params, "opt_state": trainer.opt_state}
+        state, meta = manager.restore("best", like=like, config=cfg)
+        trainer.params = state["params"]
+        trainer.opt_state = state["opt_state"]
+        trainer.global_step = meta.get("global_step", 0)
+        trainer.best_loss = meta.get("best_loss", float("inf"))
+        # start epoch from global_step, as finetuner.py:339-342
+        start_epoch = trainer.global_step // max(
+            1, pipeline.steps_per_epoch())
+        print(f"resumed from {ckpt_dir}/best at epoch {start_epoch}")
+
+    metrics_log = MetricsLogger(args.metrics_file)
+    meter = ThroughputMeter()
+
+    def log_fn(msg):
+        print(msg, flush=True)
+
+    # Hold out the first batch for the per-epoch counting eval
+    # (count_finetuner.py:174-175).
+    eval_batch_data = None
+    if args.eval_every_epoch and mode == "counterfactual":
+        eval_batch_data = next(iter(pipeline.epoch(0)))
+
+    def batches(epoch):
+        for batch in pipeline.epoch(epoch):
+            yield batch
+            rate = meter.tick(cfg.effective_batch_size)
+            if rate:
+                metrics_log.log(trainer.global_step,
+                                pairs_per_sec_per_chip=rate)
+
+    for epoch in range(start_epoch, args.epochs):
+        result = trainer.train(batches, num_epochs=epoch + 1,
+                               start_epoch=epoch, log_fn=log_fn)
+        if eval_batch_data is not None:
+            png = os.path.join(ckpt_dir, f"confusion_epoch_{epoch}.png")
+            acc, _, _ = evaluate_batch(trainer.params, model_cfg,
+                                       eval_batch_data, filename=png)
+            print(f"epoch {epoch} counting-eval accuracy: {acc:.3f}")
+            metrics_log.log(trainer.global_step, count_eval_accuracy=acc)
+
+    print(f"done: best_loss={trainer.best_loss:.4f} "
+          f"steps={trainer.global_step} "
+          f"throughput={meter.mean:.1f} pairs/s/chip")
+    metrics_log.close()
+
+
+if __name__ == "__main__":
+    main()

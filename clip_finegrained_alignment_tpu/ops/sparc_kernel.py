@@ -47,10 +47,14 @@ def _interpret() -> bool:
 
 def _sparc_kernel(v_ref, l_ref, mask_ref, o_ref, *, threshold: float,
                   num_patches: int):
-    """One batch element: v [Pp, D], l [Tp, D], mask [1, Tp] → out [Tp, D]."""
+    """One batch element: v [Pp, D], l [Tp, D], mask [Tp, 1] → out [Tp, D].
+
+    The mask ships as [B, Tp, 1] so its block's trailing dims equal the
+    array's (the Pallas TPU tiling rule: last two block dims divisible by
+    (8, 128) or equal to the full array dims)."""
     v = v_ref[0].astype(jnp.float32)                      # [Pp, D]
     l = l_ref[0].astype(jnp.float32)                      # [Tp, D]
-    mask = mask_ref[0]                                    # [1, Tp] f32
+    mask = mask_ref[0]                                    # [Tp, 1] f32
     Tp = l.shape[0]
     Pp = v.shape[0]
 
@@ -67,7 +71,7 @@ def _sparc_kernel(v_ref, l_ref, mask_ref, o_ref, *, threshold: float,
         l_norm, v_norm, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    tmask = mask.reshape(Tp, 1)                           # [Tp, 1]
+    tmask = mask                                          # [Tp, 1]
     col_valid = (jax.lax.broadcasted_iota(jnp.int32, (Tp, Pp), 1)
                  < num_patches)
     sim_masked = sim * tmask
@@ -97,7 +101,8 @@ def _fused_forward(v_patch, l_token, mask, threshold):
                 [(0, 0), (0, Pp - P), (0, 0)])
     l = jnp.pad(l_token.astype(jnp.float32),
                 [(0, 0), (0, Tp - T), (0, 0)])
-    m = jnp.pad(mask.astype(jnp.float32), [(0, 0), (0, Tp - T)])
+    m = jnp.pad(mask.astype(jnp.float32),
+                [(0, 0), (0, Tp - T)])[..., None]          # [B, Tp, 1]
 
     out = pl.pallas_call(
         functools.partial(_sparc_kernel, threshold=float(threshold),
@@ -108,7 +113,7 @@ def _fused_forward(v_patch, l_token, mask, threshold):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tp), lambda b: (b, 0),
+            pl.BlockSpec((1, Tp, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),

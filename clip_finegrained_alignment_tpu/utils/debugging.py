@@ -18,7 +18,7 @@ def debug_nans(enable: bool = True):
     """Raise on the first NaN produced inside the block
     (``jax_debug_nans`` — the moral analogue of CUDA_LAUNCH_BLOCKING:
     fail at the faulting op, not three ops later)."""
-    prev = jax.config.read("jax_debug_nans")
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", enable)
     try:
         yield

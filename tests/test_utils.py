@@ -1,0 +1,66 @@
+"""utils layer tests: timing, metering, metrics log, debugging."""
+
+import json
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clip_finegrained_alignment_tpu.utils import (MetricsLogger, StepTimer,
+                                                  ThroughputMeter,
+                                                  assert_all_finite,
+                                                  count_nonfinite,
+                                                  debug_nans)
+
+
+def test_step_timer_spans_and_stamps(capsys):
+    t = StepTimer(echo=True)
+    t.log_step("epoch_start")
+    with t.span("work"):
+        time.sleep(0.01)
+    assert "epoch_start" in t.stamps
+    assert t.durations["work"] >= 0.01
+    out = capsys.readouterr().out
+    assert "[step] epoch_start" in out and "[span] work" in out
+
+
+def test_throughput_meter():
+    m = ThroughputMeter(window=10, num_chips=2)
+    assert m.tick(100) is None
+    time.sleep(0.01)
+    rate = m.tick(100)
+    assert rate is not None and rate > 0
+    # pairs/sec/chip: divided by 2 chips
+    r = m.report()
+    assert r["num_chips"] == 2 and r["pairs_per_sec_per_chip"] > 0
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    path = str(tmp_path / "metrics.jsonl")
+    log = MetricsLogger(path, echo=False)
+    log.log(1, loss=1.5, note="x")
+    log.log(2, loss=jnp.asarray(0.5))
+    log.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["loss"] == 1.5 and lines[1]["loss"] == 0.5
+
+
+def test_assert_all_finite():
+    assert_all_finite({"a": np.ones(3)})
+    with pytest.raises(FloatingPointError, match="a"):
+        assert_all_finite({"a": np.array([1.0, np.nan])})
+
+
+def test_count_nonfinite():
+    tree = {"a": jnp.asarray([1.0, jnp.inf]), "b": jnp.asarray([1, 2]),
+            "c": jnp.asarray([jnp.nan])}
+    assert int(count_nonfinite(tree)) == 2
+
+
+def test_debug_nans_context():
+    with debug_nans(True):
+        with pytest.raises(FloatingPointError):
+            _ = jnp.log(jnp.asarray(-1.0)) + 1
+    # restored
+    _ = jnp.log(jnp.asarray(-1.0)) + 1

@@ -115,7 +115,7 @@ class CountingDataPipeline:
                  tokenizer=None, seed: int = 42, shuffle: bool = True,
                  process_index: Optional[int] = None,
                  process_count: Optional[int] = None,
-                 prefetch: int = 2):
+                 prefetch: int = 2, use_native: str = "auto"):
         if mode not in ("standard", "counterfactual"):
             raise ValueError(f"bad mode {mode!r}")
         if mode == "counterfactual" and not isinstance(
@@ -132,6 +132,22 @@ class CountingDataPipeline:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        # Native C++ batch assembler (native/cfa_host.cc): one call per
+        # batch — threaded libjpeg/libpng decode + pad + box resize with
+        # the GIL released. "auto" uses it when the library builds;
+        # "never" forces the PIL path (eval-parity geometry for
+        # non-square COCO photos — synthetic training images are square,
+        # where both paths agree).
+        if use_native not in ("auto", "always", "never"):
+            raise ValueError(f"bad use_native {use_native!r}")
+        if use_native == "never":
+            self._native = False
+        else:
+            from .. import native
+            self._native = native.available()
+            if use_native == "always" and not self._native:
+                raise RuntimeError(
+                    f"native loader unavailable: {native.build_error()}")
         # Tokenize all captions once up front — captions are small and
         # static; this removes BPE from the per-epoch hot path entirely.
         self._input_ids = self.tok([s.caption for s in dataset.samples],
@@ -171,7 +187,15 @@ class CountingDataPipeline:
         return img
 
     def _make_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        pixels = np.stack([self._load_pixels(self.ds[i]) for i in idx])
+        pixels = None
+        if self._native:
+            from .. import native
+            pixels = native.assemble_batch(
+                [self.ds[i].image_path for i in idx], self.image_size,
+                pad_to_square=(self.mode == "counterfactual"))
+        if pixels is None:
+            pixels = np.stack([self._load_pixels(self.ds[i])
+                               for i in idx])
         batch = {
             "pixel_values": pixels,                       # uint8
             "input_ids": self._input_ids[idx],

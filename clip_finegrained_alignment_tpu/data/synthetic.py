@@ -88,7 +88,13 @@ def position_phrase(boxes: Sequence[Sequence[float]], label: str,
 
 def alpha_paste(dst: np.ndarray, obj_rgb: np.ndarray,
                 obj_alpha: Optional[np.ndarray], x: int, y: int) -> None:
-    """In-place alpha-over paste of ``obj`` at (x, y); clips at borders."""
+    """In-place alpha-over paste of ``obj`` at (x, y); clips at borders.
+    Uses the native C++ primitive when built (bit-identical — integer
+    alpha blend in both paths), numpy otherwise."""
+    from .. import native
+    if dst.flags.c_contiguous and native.available():
+        if native.alpha_paste(dst, obj_rgb, obj_alpha, x, y):
+            return
     h, w = obj_rgb.shape[:2]
     H, W = dst.shape[:2]
     x0, y0 = max(0, x), max(0, y)

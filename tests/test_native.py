@@ -1,0 +1,117 @@
+"""Native host data-plane (C++ libcfa_host) tests. Skipped wholesale when
+the toolchain/image libraries are unavailable — every consumer has a
+PIL/numpy fallback, which the rest of the suite exercises."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from clip_finegrained_alignment_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(),
+    reason=f"native library unavailable: {native.build_error()}")
+
+
+@pytest.fixture(scope="module")
+def image_files(tmp_path_factory, rng):
+    d = tmp_path_factory.mktemp("imgs")
+    paths = []
+    for i, (h, w) in enumerate([(60, 60), (100, 40), (33, 97)]):
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        p = str(d / f"i{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append((p, img))
+        pj = str(d / f"i{i}.jpg")
+        Image.fromarray(img).save(pj, quality=95)
+        paths.append((pj, img))
+    return paths
+
+
+def test_png_decode_bit_exact(image_files):
+    for path, ref in image_files:
+        if not path.endswith(".png"):
+            continue
+        out = native.decode_image(path)
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_jpeg_decode_matches_pil(image_files):
+    """Both paths use libjpeg, so decodes should agree to the LSB."""
+    for path, ref in image_files:
+        if not path.endswith(".jpg"):
+            continue
+        out = native.decode_image(path)
+        pil = np.asarray(Image.open(path).convert("RGB"))
+        assert out.shape == pil.shape
+        assert np.abs(out.astype(int) - pil.astype(int)).max() <= 1
+
+
+def test_decode_missing_file():
+    assert native.decode_image("/nonexistent/x.png") is None
+
+
+def test_assemble_batch_shapes_and_threads(image_files):
+    paths = [p for p, _ in image_files]
+    out = native.assemble_batch(paths, size=48, pad_to_square=True,
+                                threads=4)
+    assert out.shape == (len(paths), 48, 48, 3)
+    assert out.dtype == np.uint8
+    assert (out.reshape(len(paths), -1).max(axis=1) > 0).all()
+    # deterministic regardless of thread count
+    out1 = native.assemble_batch(paths, size=48, pad_to_square=True,
+                                 threads=1)
+    np.testing.assert_array_equal(out, out1)
+
+
+def test_assemble_batch_failed_slot_zeroed(image_files, tmp_path):
+    paths = [image_files[0][0], str(tmp_path / "missing.png")]
+    out = native.assemble_batch(paths, size=32)
+    assert (out[1] == 0).all() and (out[0] != 0).any()
+
+
+def test_alpha_paste_matches_numpy(rng):
+    from clip_finegrained_alignment_tpu.data import synthetic
+    dst_native = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    dst_numpy = dst_native.copy()
+    obj = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    alpha = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    native.alpha_paste(dst_native, obj, alpha, 30, -5)   # clipped paste
+    # numpy reference path (bypass the native fast path)
+    h, w = obj.shape[:2]
+    H, W = dst_numpy.shape[:2]
+    x, y = 30, -5
+    x0, y0, x1, y1 = max(0, x), max(0, y), min(W, x + w), min(H, y + h)
+    region = obj[y0 - y:y1 - y, x0 - x:x1 - x]
+    a = alpha[y0 - y:y1 - y, x0 - x:x1 - x, None].astype(np.int32)
+    dst_numpy[y0:y1, x0:x1] = (
+        (a * region + (255 - a) * dst_numpy[y0:y1, x0:x1]) // 255
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(dst_native, dst_numpy)
+
+
+def test_pipeline_native_vs_pil_square_images(tmp_path, rng):
+    """On square images at generation size (no resample), native and PIL
+    paths produce identical batches."""
+    from clip_finegrained_alignment_tpu.data.datasets import (
+        CountingDataPipeline, SyntheticCaptionDataset)
+    from clip_finegrained_alignment_tpu.data.synthetic import (
+        generate_procedural_dataset)
+    from clip_finegrained_alignment_tpu.data.tokenizer import HashTokenizer
+
+    generate_procedural_dataset(str(tmp_path), num_samples=8,
+                                image_size=64, max_objects=2, seed=11)
+    ds = SyntheticCaptionDataset(
+        os.path.join(str(tmp_path), "synthetic_annotations.json"))
+    kw = dict(batch_size=8, image_size=64, tokenizer=HashTokenizer(),
+              shuffle=False)
+    b_native = next(iter(CountingDataPipeline(
+        ds, use_native="always", **kw).epoch(0)))
+    b_pil = next(iter(CountingDataPipeline(
+        ds, use_native="never", **kw).epoch(0)))
+    np.testing.assert_array_equal(b_native["pixel_values"],
+                                  b_pil["pixel_values"])
+    np.testing.assert_array_equal(b_native["input_ids"],
+                                  b_pil["input_ids"])

@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["first", "random"])
     cb.add_argument("--dataset", default=None,
                     help="local JSON or HF name (default nielsr/countbench)")
+    cb.add_argument("--debug-dir", default=None,
+                    help="dump per-sample image + probability plots here")
+    cb.add_argument("--samples", type=int, nargs="*", default=None,
+                    help="sample indices to debug (default: all when "
+                         "--debug-dir is set)")
 
     vb = sub.add_parser("vlmsblind")
     common(vb)
@@ -105,7 +110,8 @@ def main(argv=None) -> None:
             params, model_cfg, confidence=args.confidence,
             margin=args.margin, number_format=args.format,
             template_position=args.position, tokenizer=tokenizer,
-            batch_size=args.batch_size, use_pallas=args.pallas)
+            batch_size=args.batch_size, use_pallas=args.pallas,
+            debug_dir=args.debug_dir, samples_of_interest=args.samples)
         samples = load_countbench(args.dataset)
         results = ev.evaluate_dataset(samples)
         metrics = ev.compute_metrics(results)

@@ -113,10 +113,17 @@ class CountBenchEvaluator:
                  number_format: str = "word",
                  template_position: str = "first",
                  tokenizer=None, batch_size: int = 32,
-                 dtype=None, use_pallas: bool = False, seed: int = 0):
+                 dtype=None, use_pallas: bool = False, seed: int = 0,
+                 debug_dir: Optional[str] = None,
+                 samples_of_interest: Optional[Sequence[int]] = None):
         import jax.numpy as jnp
         if template_position not in ("first", "random"):
             raise ValueError(f"bad template_position {template_position!r}")
+        # Debug mode (cb_eval.py:203-270 / --debug --samples): dump the
+        # input image + template probability bars for selected (or all)
+        # sample indices.
+        self.debug_dir = debug_dir
+        self.samples_of_interest = set(samples_of_interest or [])
         self.model_cfg = model_cfg
         self.confidence = confidence
         self.margin = margin
@@ -154,6 +161,7 @@ class CountBenchEvaluator:
         results = {"correct": [], "confidence": [], "groundtruth": [],
                    "pred_numbers": [], "pred_templates": [], "texts": []}
         batch_px, batch_tpl, batch_meta = [], [], []
+        sample_idx = 0
 
         def flush():
             if not batch_px:
@@ -165,13 +173,18 @@ class CountBenchEvaluator:
             probs = self.scorer(np.stack(batch_px), tpl_ids, valid)
             dec = thresholded_decision(probs, pos, valid,
                                        self.confidence, self.margin)
-            for i, (number, templates) in enumerate(batch_meta):
+            for i, (number, templates, pos_idx, s_idx, raw) in \
+                    enumerate(batch_meta):
                 results["correct"].append(bool(dec["correct"][i]))
                 results["confidence"].append(float(dec["confidence"][i]))
                 results["groundtruth"].append(number)
                 pred_t = templates[int(dec["argmax_idx"][i])]
                 results["pred_templates"].append(pred_t)
                 results["pred_numbers"].append(extract_number(pred_t))
+                if self.debug_dir and (not self.samples_of_interest
+                                       or s_idx in self.samples_of_interest):
+                    self._dump_debug(s_idx, raw, templates, pos_idx,
+                                     probs[i])
             batch_px.clear()
             batch_tpl.clear()
             batch_meta.clear()
@@ -191,12 +204,28 @@ class CountBenchEvaluator:
                                  self.model_cfg.vision.image_size)
             batch_px.append(px)
             batch_tpl.append((templates, pos_idx))
-            batch_meta.append((number, templates))
+            batch_meta.append((number, templates, pos_idx, sample_idx,
+                               image if self.debug_dir else None))
             results["texts"].append(text)
+            sample_idx += 1
             if len(batch_px) == self.batch_size:
                 flush()
         flush()
         return results
+
+    def _dump_debug(self, idx, image, templates, pos_idx, probs):
+        """Per-sample debug artifacts (cb_eval.py:203-270): raw image +
+        green/red template probability bars."""
+        from .viz import plot_template_probabilities, save_debug_image
+        os.makedirs(self.debug_dir, exist_ok=True)
+        if image is not None:
+            save_debug_image(np.asarray(image),
+                             os.path.join(self.debug_dir,
+                                          f"sample_{idx}_image.png"))
+        plot_template_probabilities(
+            templates, np.asarray(probs),
+            os.path.join(self.debug_dir, f"sample_{idx}_probs.png"),
+            pos_idx)
 
     # ------------------------------------------------------------------
     def compute_metrics(self, results: Dict[str, list]) -> Dict:

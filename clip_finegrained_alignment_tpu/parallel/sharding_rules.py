@@ -1,0 +1,97 @@
+"""Parameter sharding rules: DP replication + optional tensor parallelism.
+
+The reference has exactly one strategy — DDP data parallelism
+(SURVEY.md §2.2) — which maps to replicated params and a batch-sharded
+``data`` axis. This module adds the standard Megatron-style 2D extension
+over the ``model`` mesh axis so larger towers (ViT-L/14 and beyond) scale
+past one chip's HBM without a rewrite:
+
+* attention q/k/v kernels ``[L, D, D]``: output (head) dim sharded —
+  column-parallel; ``out`` kernel input dim sharded — row-parallel.
+* MLP ``fc1 [L, D, F]``: F sharded (column-parallel); ``fc2 [L, F, D]``:
+  F sharded (row-parallel).
+* embeddings, layernorms, projections, logit_scale: replicated.
+
+With ``jax.jit`` + these ``NamedSharding``s the XLA partitioner inserts the
+(all-gather/reduce-scatter) collectives over ICI; no manual communication
+code. Biases of column-parallel layers are sharded to match; row-parallel
+biases stay replicated (added after the partial-sum reduction).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import MODEL_AXIS
+
+# Pytree key-path suffix → PartitionSpec for the stacked [L, ...] layer
+# params. None → replicated.
+_LAYER_RULES = {
+    ("q", "kernel"): P(None, None, MODEL_AXIS),
+    ("q", "bias"): P(None, MODEL_AXIS),
+    ("k", "kernel"): P(None, None, MODEL_AXIS),
+    ("k", "bias"): P(None, MODEL_AXIS),
+    ("v", "kernel"): P(None, None, MODEL_AXIS),
+    ("v", "bias"): P(None, MODEL_AXIS),
+    ("out", "kernel"): P(None, MODEL_AXIS, None),
+    ("out", "bias"): P(),
+    ("fc1", "kernel"): P(None, None, MODEL_AXIS),
+    ("fc1", "bias"): P(None, MODEL_AXIS),
+    ("fc2", "kernel"): P(None, MODEL_AXIS, None),
+    ("fc2", "bias"): P(),
+}
+
+
+def _spec_for_path(path) -> P:
+    keys = tuple(getattr(k, "key", None) or str(k) for k in path)
+    if len(keys) >= 2:
+        tail = (keys[-2], keys[-1])
+        if tail in _LAYER_RULES and "layers" in keys:
+            return _LAYER_RULES[tail]
+    return P()
+
+
+def param_specs(params: Any) -> Any:
+    """PartitionSpec pytree for a CLIP param tree (TP over ``model``,
+    replicated over ``data``)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _spec_for_path(path), params)
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for device_put / jit in_shardings."""
+    return jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                        param_specs(params))
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Lay out a param tree onto the mesh per the rules. With
+    ``model=1`` every spec degenerates to replication — the pure-DP
+    parity layout."""
+    sh = param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, sh)
+
+
+def validate_tp_divisibility(params: Any, mesh: Mesh) -> None:
+    """Check every sharded dim divides by the ``model`` axis size before
+    XLA produces an inscrutable partitioning error."""
+    tp = mesh.shape[MODEL_AXIS]
+    if tp == 1:
+        return
+    problems = []
+
+    def check(path, leaf):
+        spec = _spec_for_path(path)
+        for dim, axis in enumerate(spec):
+            if axis == MODEL_AXIS and leaf.shape[dim] % tp != 0:
+                problems.append(
+                    f"{jax.tree_util.keystr(path)}: dim {dim} size "
+                    f"{leaf.shape[dim]} not divisible by model={tp}")
+
+    jax.tree_util.tree_map_with_path(check, params)
+    if problems:
+        raise ValueError("tensor-parallel divisibility failures:\n  "
+                         + "\n  ".join(problems[:10]))

@@ -181,7 +181,13 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
     def grads_and_metrics(params, batch):
         return _accumulated_grads(params, batch, cfg, model_cfg, dtype)
 
+    tp = mesh.shape.get(pmesh.MODEL_AXIS, 1) if mesh is not None else 1
     if mesh is not None and not cfg.global_negatives:
+        if tp > 1:
+            raise ValueError(
+                "tensor parallelism (mesh.model > 1) requires "
+                "global_negatives=True: the DDP-parity shard_map path "
+                "assumes replicated params")
         # Parity mode: per-device local-batch loss + gradient pmean — the
         # exact DDP semantics (dist_finetuner.py:57 allreduce; local
         # negatives :161-176).
@@ -210,8 +216,16 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
         return params, opt_state, metrics
 
     if mesh is not None:
-        repl = pmesh.replicated(mesh)
         bsh = pmesh.batch_sharding(mesh, accum_axis=True)
+        if tp > 1:
+            # TP: params/opt_state keep whatever (Megatron-style) layout
+            # the caller placed them with (parallel/sharding_rules.py);
+            # in_shardings=None ⇒ follow the argument placements and let
+            # the partitioner insert the ICI collectives.
+            return jax.jit(train_step,
+                           in_shardings=(None, None, bsh),
+                           donate_argnums=(0, 1))
+        repl = pmesh.replicated(mesh)
         return jax.jit(train_step,
                        in_shardings=(repl, repl, bsh),
                        out_shardings=(repl, repl, repl),
@@ -239,16 +253,26 @@ class Trainer:
         if params is None:
             params = m.init_clip_params(jax.random.key(cfg.seed),
                                         self.model_cfg)
+        # Lay params out on the mesh first so everything derived from
+        # them (anchor deepcopy, optimizer zeros) inherits the layout.
+        if self.mesh is None:
+            self.params = params
+        elif cfg.mesh.model > 1:
+            from ..parallel.sharding_rules import (shard_params,
+                                                   validate_tp_divisibility)
+            validate_tp_divisibility(params, self.mesh)
+            self.params = shard_params(params, self.mesh)
+        else:
+            self.params = pmesh.replicate(params, self.mesh)
         # AdamSPD anchors = the pretrained weights at construction time
         # (the deepcopy at finetuner.py:86).
-        anchor = jax.tree.map(jnp.copy, params) \
+        anchor = jax.tree.map(jnp.copy, self.params) \
             if cfg.optimizer_type == "adamspd" else None
-        self.optimizer = make_optimizer(cfg, params, anchor_params=anchor)
-        self.params = params if self.mesh is None else \
-            pmesh.replicate(params, self.mesh)
+        self.optimizer = make_optimizer(cfg, self.params,
+                                        anchor_params=anchor)
+        # optax init is zeros_like/copies of params ⇒ optimizer state
+        # inherits the param shardings.
         self.opt_state = self.optimizer.init(self.params)
-        if self.mesh is not None:
-            self.opt_state = pmesh.replicate(self.opt_state, self.mesh)
         self.train_step = make_train_step(cfg, self.model_cfg,
                                           self.optimizer, self.mesh)
         self.global_step = 0

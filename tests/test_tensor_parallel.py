@@ -1,0 +1,87 @@
+"""Tensor-parallel sharding rules: a 4x2 (data, model) mesh must produce
+the same training math as one device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_finegrained_alignment_tpu.config import (CLIPConfig, MeshConfig,
+                                                   TrainConfig)
+from clip_finegrained_alignment_tpu.models import clip as m
+from clip_finegrained_alignment_tpu.optim.factory import make_optimizer
+from clip_finegrained_alignment_tpu.parallel import mesh as pmesh
+from clip_finegrained_alignment_tpu.parallel.sharding_rules import (
+    param_specs, shard_params, validate_tp_divisibility)
+from clip_finegrained_alignment_tpu.train.engine import make_train_step
+
+from test_train_engine import CFG, make_batch, tiny_train_config
+
+import pytest
+
+
+def test_param_specs_shapes():
+    params = m.init_clip_params(jax.random.key(0), CFG)
+    specs = param_specs(params)
+    from jax.sharding import PartitionSpec as P
+    assert specs["vision"]["layers"]["fc1"]["kernel"] == \
+        P(None, None, "model")
+    assert specs["vision"]["layers"]["fc2"]["kernel"] == \
+        P(None, "model", None)
+    assert specs["vision"]["layers"]["out"]["kernel"] == \
+        P(None, "model", None)
+    assert specs["text"]["token_embedding"] == P()
+    assert specs["logit_scale"] == P()
+
+
+def test_tp_divisibility_validation(eight_devices):
+    mesh = pmesh.make_mesh(MeshConfig(data=2, model=4), eight_devices)
+    # tiny config: heads=2, hidden=32 -> q kernel [L, 32, 32]: 32 % 4 == 0 OK
+    params = m.init_clip_params(jax.random.key(0), CFG)
+    validate_tp_divisibility(params, mesh)  # no raise
+    # a bad shape trips the validator
+    bad = dict(params)
+    bad["vision"] = dict(params["vision"])
+    bad["vision"]["layers"] = jax.tree.map(lambda x: x,
+                                           params["vision"]["layers"])
+    bad["vision"]["layers"] = dict(bad["vision"]["layers"])
+    bad["vision"]["layers"]["fc1"] = {
+        "kernel": jnp.zeros((2, 32, 66)), "bias": jnp.zeros((2, 66))}
+    with pytest.raises(ValueError, match="divisibility"):
+        validate_tp_divisibility(bad, mesh)
+
+
+def test_tp_train_step_matches_single_device(rng, eight_devices):
+    cfg = tiny_train_config(global_negatives=True, use_amp=False,
+                            gradient_accumulation_steps=1, batch_size=8,
+                            mesh=MeshConfig(data=4, model=2))
+    params = m.init_clip_params(jax.random.key(3), CFG)
+    opt = make_optimizer(cfg, params)
+    batch = make_batch(rng, 8, accum=1)
+
+    step1 = make_train_step(cfg, CFG, opt, mesh=None)
+    p1, _, m1 = step1(jax.tree.map(jnp.copy, params),
+                      opt.init(jax.tree.map(jnp.copy, params)),
+                      dict(batch))
+
+    mesh = pmesh.make_mesh(cfg.mesh, eight_devices)
+    sp = shard_params(params, mesh)
+    so = opt.init(sp)
+    sb = pmesh.shard_batch(dict(batch), mesh, accum_axis=True)
+    step_tp = make_train_step(cfg, CFG, opt, mesh=mesh)
+    p2, _, m2 = step_tp(sp, so, sb)
+
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+
+def test_tp_requires_global_negatives(eight_devices):
+    cfg = tiny_train_config(global_negatives=False,
+                            mesh=MeshConfig(data=4, model=2))
+    params = m.init_clip_params(jax.random.key(0), CFG)
+    opt = make_optimizer(cfg, params)
+    mesh = pmesh.make_mesh(cfg.mesh, eight_devices)
+    with pytest.raises(ValueError, match="global_negatives"):
+        make_train_step(cfg, CFG, opt, mesh=mesh)

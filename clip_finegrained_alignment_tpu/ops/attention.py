@@ -54,14 +54,17 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-    """o = softmax(q kᵀ · scale + bias) v, fp32 statistics, one (b, hg)."""
+    """o = softmax(q kᵀ · scale + bias) v, fp32 statistics, one (b, hg).
+
+    bias is [S, S] shared across heads (causal/padding masks are
+    head-invariant in CLIP) — 1/H the HBM traffic of a per-head bias."""
     q = q_ref[0]                                   # [G, S, D] (pre-scaled)
     k = k_ref[0]
     v = v_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)        # [G, S, S]
-    logits = logits + bias_ref[0]
+    logits = logits + bias_ref[0, 0][None]
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
@@ -82,7 +85,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
     logits = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    logits = logits + bias_ref[0]
+    logits = logits + bias_ref[0, 0][None]
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
@@ -117,7 +120,9 @@ def _prepare(q, k, v, bias, scale, head_group: int):
     the grid geometry."""
     B, H, S, D = q.shape
     Sp = _round_up(S, 8)
-    G = head_group
+    # head_group=0 → all heads in one grid cell (best MXU utilization at
+    # CLIP sizes: 12 heads × [Sp, Sp] fp32 logits ≈ 2-3 MB of VMEM).
+    G = head_group if head_group > 0 else H
     while H % G != 0:
         G //= 2
     pad = Sp - S
@@ -129,6 +134,8 @@ def _prepare(q, k, v, bias, scale, head_group: int):
         k = jnp.pad(k, cfg)
         v = jnp.pad(v, cfg)
 
+    # Bias stays [B|1, 1, Sp, Sp] — head-invariant, so the kernel loads
+    # one [Sp, Sp] tile per cell instead of a per-head copy.
     full_bias = jnp.zeros((1, 1, Sp, Sp), jnp.float32)
     if bias is not None:
         full_bias = full_bias + jnp.pad(
@@ -138,9 +145,6 @@ def _prepare(q, k, v, bias, scale, head_group: int):
         key_mask = (jnp.arange(Sp) >= S)
         full_bias = full_bias + jnp.where(key_mask, _NEG, 0.0)[None, None,
                                                               None, :]
-    Bb, Hb = full_bias.shape[:2]
-    full_bias = jnp.broadcast_to(full_bias, (Bb, H if Hb == 1 else Hb,
-                                             Sp, Sp))
     return qs, k, v, full_bias, (B, H, S, D, Sp, G)
 
 
@@ -149,9 +153,9 @@ def _grid_specs(B, H, Sp, D, G, bias_batched):
     qkv_spec = pl.BlockSpec((1, G, Sp, D),
                             lambda b, h: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)
-    bias_index = (lambda b, h: (b, h, 0, 0)) if bias_batched \
-        else (lambda b, h: (0, h, 0, 0))
-    bias_spec = pl.BlockSpec((1, G, Sp, Sp), bias_index,
+    bias_index = (lambda b, h: (b, 0, 0, 0)) if bias_batched \
+        else (lambda b, h: (0, 0, 0, 0))
+    bias_spec = pl.BlockSpec((1, 1, Sp, Sp), bias_index,
                              memory_space=pltpu.VMEM)
     return grid, qkv_spec, bias_spec
 
@@ -204,7 +208,7 @@ def _fused_backward(q, k, v, bias, scale, head_group, do):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias: Optional[jax.Array], scale: float,
-                    head_group: int = 4) -> jax.Array:
+                    head_group: int = 0) -> jax.Array:
     """Fused attention. q/k/v: [B, H, S, D]; bias broadcastable
     [B|1, 1, S, S] additive (causal+padding for the text tower, None for
     vision); returns [B, H, S, D]. Differentiable w.r.t. q, k, v (bias

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -103,6 +104,31 @@ def main(argv=None) -> None:
     model_cfg = CLIPConfig.from_name(args.model)
     params = load_params(args, model_cfg)
     tokenizer = load_tokenizer(args.bpe_path)
+    from ..data.tokenizer import HashTokenizer
+    if isinstance(tokenizer, HashTokenizer) and \
+            tokenizer.vocab_size != model_cfg.text.vocab_size:
+        # Match the fallback tokenizer's id layout to the model vocab
+        # (otherwise out-of-range ids clamp in the embedding gather and
+        # every caption degenerates to the same sequence).
+        tokenizer = HashTokenizer(
+            vocab_size=model_cfg.text.vocab_size,
+            bos_token_id=model_cfg.text.bos_token_id,
+            eos_token_id=model_cfg.text.eos_token_id,
+            pad_token_id=model_cfg.text.pad_token_id)
+
+    # "procedural" datasets: generate a local benchmark-shaped fixture so
+    # the full pipeline runs with zero network (plumbing check, not the
+    # real benchmark).
+    if getattr(args, "dataset", None) == "procedural":
+        from ..data import fixtures
+        fix_dir = os.path.join(args.output_dir, "fixture")
+        if args.command == "countbench":
+            fixtures.make_countbench_fixture(fix_dir)
+            args.dataset = os.path.join(fix_dir, "countbench_fixture.json")
+        else:
+            fixtures.make_vlmsblind_fixture(fix_dir)
+            args.dataset = os.path.join(fix_dir, "vlmsblind_fixture.json")
+        print(f"generated procedural fixture: {args.dataset}")
 
     if args.command == "countbench":
         from ..eval.countbench import CountBenchEvaluator, load_countbench

@@ -112,6 +112,14 @@ def main(argv=None) -> None:
         else SyntheticCaptionDataset
     dataset = ds_cls(args.annotations)
     tokenizer = load_tokenizer(args.bpe_path)
+    from ..data.tokenizer import HashTokenizer
+    if isinstance(tokenizer, HashTokenizer) and \
+            tokenizer.vocab_size != model_cfg.text.vocab_size:
+        tokenizer = HashTokenizer(
+            vocab_size=model_cfg.text.vocab_size,
+            bos_token_id=model_cfg.text.bos_token_id,
+            eos_token_id=model_cfg.text.eos_token_id,
+            pad_token_id=model_cfg.text.pad_token_id)
     pipeline = CountingDataPipeline(
         dataset, cfg.effective_batch_size, mode=mode,
         image_size=model_cfg.vision.image_size,

@@ -45,11 +45,14 @@ def main():
     use_fused_sparc = os.environ.get("BENCH_FUSED_SPARC", use_pallas
                                      and "1" or "0") == "1"
 
+    remat = os.environ.get("BENCH_REMAT", "1")
+    remat = {"0": False, "1": True, "dots": "dots"}[remat]
+
     model_cfg = CLIPConfig.vit_b16()
     cfg = TrainConfig(
         clip_model="ViT-B/16", loss_type="sparc", optimizer_type="adamspd",
         inverse_temperature=0.07, batch_size=batch_size,
-        gradient_accumulation_steps=1, use_amp=True,
+        gradient_accumulation_steps=1, use_amp=True, remat=remat,
         use_pallas_attention=use_pallas, use_fused_sparc=use_fused_sparc)
 
     params = m.init_clip_params(jax.random.key(0), model_cfg)

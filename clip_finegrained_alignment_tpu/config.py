@@ -193,8 +193,9 @@ class TrainConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     precision: PrecisionConfig = field(default_factory=PrecisionConfig)
     use_pallas_attention: bool = False    # fused flash attention kernels
-    remat: bool = True                    # per-layer rematerialization
-                                          # (jax.checkpoint) in the towers
+    remat: object = True                  # per-layer rematerialization:
+                                          # False | True (recompute all) |
+                                          # "dots" (save weight-matmuls)
     use_fused_sparc: bool = False         # fused SPARC local-alignment kernel
     global_negatives: bool = False        # all-gather embeddings across the
                                           # data axis for the contrastive loss

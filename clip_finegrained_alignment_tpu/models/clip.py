@@ -220,7 +220,13 @@ def encoder(params_stacked, x, bias, num_heads, eps, *, dtype,
         return r + h, None
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        # remat=True → recompute everything (min memory); remat="dots" →
+        # save the weight-matmul outputs (qkv/out/fc projections) and
+        # recompute only elementwise/attention — ~40% less backward
+        # recompute for ~2x the activation footprint.
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable \
+            if remat == "dots" else None
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     out, _ = jax.lax.scan(body, x, params_stacked)
     return out
 

@@ -45,7 +45,7 @@ def main():
     use_fused_sparc = os.environ.get("BENCH_FUSED_SPARC", use_pallas
                                      and "1" or "0") == "1"
 
-    remat = os.environ.get("BENCH_REMAT", "1")
+    remat = os.environ.get("BENCH_REMAT", "dots")
     remat = {"0": False, "1": True, "dots": "dots"}[remat]
 
     model_cfg = CLIPConfig.vit_b16()

@@ -193,9 +193,12 @@ class TrainConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     precision: PrecisionConfig = field(default_factory=PrecisionConfig)
     use_pallas_attention: bool = False    # fused flash attention kernels
-    remat: object = True                  # per-layer rematerialization:
+    remat: object = "dots"                # per-layer rematerialization:
                                           # False | True (recompute all) |
-                                          # "dots" (save weight-matmuls)
+                                          # "dots" (save weight-matmuls;
+                                          # measured fastest that fits:
+                                          # 556 vs 539 pairs/s/chip on
+                                          # ViT-B/16 @ 256/v5e)
     use_fused_sparc: bool = False         # fused SPARC local-alignment kernel
     global_negatives: bool = False        # all-gather embeddings across the
                                           # data axis for the contrastive loss

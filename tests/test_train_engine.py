@@ -212,3 +212,27 @@ def test_epoch_permutation_and_shard_bounds():
     assert np.array_equal(p0, pmesh.epoch_permutation(100, epoch=0))
     s, e = pmesh.process_shard_bounds(100, process_index=3, process_count=4)
     assert (s, e) == (75, 100)
+
+
+def test_clip_count_grouped_path(rng):
+    """clip_count with explicit count groups ([B, G, T] captions: slot 0
+    positive + G-1 counterfactual negatives) — the generalized form of the
+    reference's degenerate G==1 shape (losses.py:120-124)."""
+    from clip_finegrained_alignment_tpu.train.engine import compute_loss
+    cfg = tiny_train_config(loss_type="clip_count", count_alpha=0.7)
+    params = m.init_clip_params(jax.random.key(4), CFG)
+    t = CFG.text
+    batch = make_batch(rng, 4)
+    group = rng.integers(1, t.vocab_size - 2,
+                         size=(4, 3, t.max_position_embeddings)
+                         ).astype(np.int32)
+    group[..., -1] = t.eos_token_id
+    batch["group_input_ids"] = group
+    loss, losses = compute_loss(params, batch, cfg, CFG,
+                                dtype=jnp.float32)
+    assert np.isfinite(float(loss))
+    assert float(losses["count_loss"]) != 0.0  # grouped term active
+    # without groups the count term is exactly 0 (reference degenerate)
+    del batch["group_input_ids"]
+    _, losses0 = compute_loss(params, batch, cfg, CFG, dtype=jnp.float32)
+    assert float(losses0["count_loss"]) == 0.0

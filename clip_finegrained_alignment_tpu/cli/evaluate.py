@@ -81,16 +81,11 @@ def load_params(args, model_cfg):
         params, meta = hf_import.load_reference_checkpoint(src, model_cfg)
         print(f"loaded reference checkpoint {src}")
         return params
-    import os
-    if os.path.isdir(src):  # orbax
-        from ..train.checkpoint import CheckpointManager
-        mgr = CheckpointManager(os.path.dirname(src) or ".")
-        like = {"params": m.init_clip_params(jax.random.key(0), model_cfg),
-                "opt_state": {}}
-        state, _ = mgr.restore(os.path.basename(src),
-                               like={"params": like["params"],
-                                     "opt_state": {}})
-        return state["params"]
+    if os.path.isdir(src):  # orbax checkpoint directory
+        import orbax.checkpoint as ocp
+        state = ocp.StandardCheckpointer().restore(os.path.abspath(src))
+        print(f"loaded orbax checkpoint {src}")
+        return state["params"] if "params" in state else state
     params, _ = hf_import.load_hf_clip(src)
     return params
 

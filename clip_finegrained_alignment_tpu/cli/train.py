@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the counting batch-eval after each epoch "
                         "(count_finetuner.py:153-168 behavior)")
     p.add_argument("--metrics-file", default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler (Perfetto) trace of steps "
+                        "2-4 into this directory")
     return p
 
 
@@ -173,9 +176,19 @@ def main(argv=None) -> None:
     if args.eval_every_epoch and mode == "counterfactual":
         eval_batch_data = next(iter(pipeline.epoch(0)))
 
+    profiling = {"active": False}
+
     def batches(epoch):
         for batch in pipeline.epoch(epoch):
+            if args.profile_dir and trainer.global_step == 2 \
+                    and not profiling["active"]:
+                jax.profiler.start_trace(args.profile_dir)
+                profiling["active"] = True
             yield batch
+            if profiling["active"] and trainer.global_step >= 4:
+                jax.profiler.stop_trace()
+                profiling["active"] = False
+                print(f"profile trace written to {args.profile_dir}")
             rate = meter.tick(cfg.effective_batch_size)
             if rate:
                 metrics_log.log(trainer.global_step,

@@ -9,6 +9,8 @@ vs EOS pooling, causal text mask, logit_scale
 (``/root/reference/finetune/finetuner.py:120-128``).
 """
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -175,3 +177,36 @@ def test_bf16_forward_close(models, batch):
     cos = (i32 * i16).sum(-1) / (
         np.linalg.norm(i32, axis=-1) * np.linalg.norm(i16, axis=-1) + 1e-8)
     assert cos.min() > 0.99, f"bf16 drifted: min cos={cos.min()}"
+
+
+@pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                    reason="full-size parity is minutes on CPU; RUN_SLOW=1")
+def test_full_vit_b32_parity_slow():
+    """Production-topology parity: full ViT-B/32 random-init torch CLIPModel
+    vs our JAX forward, tight fp32 tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    full = CLIPConfig()  # ViT-B/32 defaults
+    hf_cfg = HFCLIPConfig(
+        text_config={"hidden_act": "quick_gelu"},
+        vision_config={"hidden_act": "quick_gelu"},
+    )
+    torch.manual_seed(1)
+    model = HFCLIPModel(hf_cfg).eval()
+    params = params_from_hf_state_dict(model.state_dict(), full)
+
+    g = np.random.default_rng(7)
+    px = g.normal(size=(2, 224, 224, 3)).astype(np.float32)
+    ids = g.integers(1, 49000, size=(2, 77)).astype(np.int64)
+    ids[:, 0] = 49406
+    ids[:, -1] = 49407
+
+    with torch.no_grad():
+        ref = model(pixel_values=torch.from_numpy(
+            px.transpose(0, 3, 1, 2)), input_ids=torch.from_numpy(ids))
+    out = jclip.clip_forward(params, jnp.asarray(px),
+                             jnp.asarray(ids.astype(np.int32)), full)
+    np.testing.assert_allclose(
+        np.asarray(out.logits_per_image),
+        ref.logits_per_image.numpy(), rtol=2e-4, atol=2e-3)

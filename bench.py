@@ -79,10 +79,18 @@ def main():
     float(metrics["total_loss"])  # full host sync (block_until_ready can
     # return early under the remote-execution tunnel)
 
+    # BENCH_SYNC=step fetches the loss every step (adds one host
+    # round-trip per step — what a logging-every-step trainer pays);
+    # default "chain" enqueues all steps and syncs once at the end via the
+    # params data dependency — the steady-state training regime.
+    sync_every_step = os.environ.get("BENCH_SYNC", "chain") == "step"
     t0 = time.perf_counter()
     for _ in range(steps):
         params, opt_state, metrics = step(params, opt_state, batch)
-        float(metrics["total_loss"])
+        if sync_every_step:
+            float(metrics["total_loss"])
+    final_loss = float(metrics["total_loss"])  # forces the whole chain
+    assert final_loss == final_loss  # NaN guard
     dt = time.perf_counter() - t0
 
     n_chips = 1  # single-chip bench; pairs/sec/chip

@@ -30,7 +30,6 @@ Design (TPU-first, not a translation):
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 

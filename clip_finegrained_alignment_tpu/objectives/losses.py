@@ -41,9 +41,14 @@ _NEG = -1e9  # finite stand-in for the reference's -inf fills
 # Helpers
 # ---------------------------------------------------------------------------
 
-def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 0.0) -> jax.Array:
+def l2_normalize(x: jax.Array, axis: int = -1,
+                 eps: float = 1e-12) -> jax.Array:
+    """``x / max(‖x‖, eps)`` — torch ``F.normalize`` semantics, which is
+    what the reference losses call (``losses.py:151-153,221-222``): a zero
+    vector normalizes to zeros, not NaN (matters when a collapsing model
+    produces empty SPARC groupings)."""
     n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / (n + eps)
+    return x / jnp.maximum(n, eps)
 
 
 def softmax_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:

@@ -274,3 +274,20 @@ def test_losses_are_jittable_and_differentiable():
 
     gi = jax.grad(h)(v.mean(1), l.mean(1))
     assert np.isfinite(np.asarray(gi)).all()
+
+
+def test_sparc_stays_finite_under_collapse():
+    """Collapsed representations (all patches identical) drive the min-max
+    normalization to a degenerate range and the grouped pooling to zero
+    vectors; with torch-F.normalize semantics (x/max(||x||, eps)) the loss
+    must remain finite — the failure mode observed in long random-data
+    training runs."""
+    import jax.numpy as jnp
+    B, P, T, D = 2, 5, 4, 8
+    v = np.ones((B, P, D), np.float32)          # identical patches
+    l = np.zeros((B, T, D), np.float32)         # zero token embeddings
+    mask = np.ones((B, T), np.float32)
+    out = sparc_loss(jnp.asarray(v), jnp.asarray(l), jnp.asarray(mask),
+                     inverse_temperature=0.07)
+    for k, val in out.items():
+        assert np.isfinite(float(val)), (k, float(val))

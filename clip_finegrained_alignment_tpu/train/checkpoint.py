@@ -47,23 +47,37 @@ class CheckpointManager:
     """
 
     def __init__(self, directory: str, save_every: int = 5,
-                 keep_periodic: int = 3):
+                 keep_periodic: int = 3, async_save: bool = False):
+        """``async_save=True`` overlaps checkpoint IO with training
+        (orbax async commit); ``wait()`` or the next save joins the
+        pending write. Writes stay atomic either way."""
         if not _HAVE_ORBAX:  # pragma: no cover
             raise RuntimeError("orbax-checkpoint is unavailable")
         self.directory = os.path.abspath(directory)
         self.save_every = max(1, save_every)
         self.keep_periodic = keep_periodic
+        self.async_save = async_save
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self._pending_meta = []
 
     # ------------------------------------------------------------------
+    def wait(self) -> None:
+        """Join any in-flight async save (and write its meta sidecars)."""
+        self._ckptr.wait_until_finished()
+        for path, meta in self._pending_meta:
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f, indent=2)
+        self._pending_meta.clear()
+
     def _save_to(self, path: str, state: Dict[str, Any],
                  meta: Dict[str, Any]) -> None:
         path = os.path.join(self.directory, path)
+        self.wait()  # at most one save in flight
         self._ckptr.save(path, _to_host(state), force=True)
-        self._ckptr.wait_until_finished()
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f, indent=2)
+        self._pending_meta.append((path, meta))
+        if not self.async_save:
+            self.wait()
 
     def save(self, *, epoch: int, params, opt_state, global_step: int,
              best_loss: float, avg_loss: float, is_best: bool,
@@ -87,14 +101,21 @@ class CheckpointManager:
             self._save_to(f"epoch_{epoch}", state, meta)
             self._prune_periodic()
 
+    def _epochs_on_disk(self):
+        """Committed epoch_<n> dirs (skips orbax in-flight tmp dirs)."""
+        out = []
+        for d in os.listdir(self.directory):
+            if d.startswith("epoch_"):
+                suffix = d.split("_", 1)[1]
+                if suffix.isdigit():
+                    out.append(int(suffix))
+        return sorted(out)
+
     def _prune_periodic(self) -> None:
         if self.keep_periodic <= 0:
             return
         import shutil
-        epochs = sorted(
-            (int(d.split("_", 1)[1]) for d in os.listdir(self.directory)
-             if d.startswith("epoch_")))
-        for e in epochs[:-self.keep_periodic]:
+        for e in self._epochs_on_disk()[:-self.keep_periodic]:
             shutil.rmtree(os.path.join(self.directory, f"epoch_{e}"),
                           ignore_errors=True)
 
@@ -104,6 +125,7 @@ class CheckpointManager:
         """Restore ``{"params", "opt_state"}`` (structured like ``like``)
         plus the metadata dict. Warns on config drift (parity with
         ``finetuner.py:249-254``)."""
+        self.wait()
         path = os.path.join(self.directory, which)
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
@@ -124,6 +146,5 @@ class CheckpointManager:
         return state, meta
 
     def latest_epoch(self) -> Optional[int]:
-        epochs = [int(d.split("_", 1)[1]) for d in os.listdir(self.directory)
-                  if d.startswith("epoch_")]
+        epochs = self._epochs_on_disk()
         return max(epochs) if epochs else None

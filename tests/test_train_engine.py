@@ -236,3 +236,21 @@ def test_clip_count_grouped_path(rng):
     del batch["group_input_ids"]
     _, losses0 = compute_loss(params, batch, cfg, CFG, dtype=jnp.float32)
     assert float(losses0["count_loss"]) == 0.0
+
+
+def test_async_checkpoint_roundtrip(rng, tmp_path):
+    from clip_finegrained_alignment_tpu.train.checkpoint import \
+        CheckpointManager
+    cfg = tiny_train_config()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_every=1,
+                            async_save=True)
+    trainer = Trainer(cfg, checkpoint_manager=mgr)
+    batch = make_batch(rng, cfg.effective_batch_size)
+    trainer.train(lambda epoch: [batch], num_epochs=1)
+    mgr.wait()
+    like = {"params": trainer.params, "opt_state": trainer.opt_state}
+    state, meta = mgr.restore("best", like=like)
+    assert meta["global_step"] == 1
+    for a, b in zip(jax.tree.leaves(state["params"]),
+                    jax.tree.leaves(trainer.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -45,10 +45,15 @@ def l2_normalize(x: jax.Array, axis: int = -1,
                  eps: float = 1e-12) -> jax.Array:
     """``x / max(‖x‖, eps)`` — torch ``F.normalize`` semantics, which is
     what the reference losses call (``losses.py:151-153,221-222``): a zero
-    vector normalizes to zeros, not NaN (matters when a collapsing model
-    produces empty SPARC groupings)."""
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(n, eps)
+    vector normalizes to zeros, not NaN (matters for SPARC's grouped
+    pooling, whose masked token rows are exactly zero).
+
+    Implemented as ``x · rsqrt(max(Σx², eps²))`` rather than dividing by
+    ``max(‖x‖, eps)``: the values are identical, but ``jnp.linalg.norm``'s
+    own VJP is 0/0 = NaN at x = 0, which poisons gradients through the
+    clamp (0 · NaN = NaN) — this form has clean gradients everywhere."""
+    sumsq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sumsq, eps * eps))
 
 
 def softmax_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -183,7 +188,12 @@ def sparc_alignment_weights(similarity: jax.Array, language_mask: jax.Array,
     Returns v_align_weights [B, T, P]."""
     mask = language_mask.astype(similarity.dtype)[:, :, None]     # [B, T, 1]
     sim_masked = similarity * mask
-    big = jnp.asarray(jnp.finfo(similarity.dtype).max, similarity.dtype)
+    # Sentinel for masked rows: similarities are cosines in [-1, 1], so ±2
+    # never interferes with real extrema. (A finfo.max sentinel makes
+    # ``sim_max - sim_min`` overflow to -inf on fully-masked token rows,
+    # which poisons the BACKWARD with NaN even though the forward stays
+    # finite — the row itself is zeroed below, but the chain rule isn't.)
+    big = jnp.asarray(2.0, similarity.dtype)
     sim_min = jnp.min(jnp.where(mask > 0, sim_masked, big), axis=-1,
                       keepdims=True)
     sim_max = jnp.max(jnp.where(mask > 0, sim_masked, -big), axis=-1,

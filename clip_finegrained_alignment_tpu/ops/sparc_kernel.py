@@ -75,7 +75,10 @@ def _sparc_kernel(v_ref, l_ref, mask_ref, o_ref, *, threshold: float,
     col_valid = (jax.lax.broadcasted_iota(jnp.int32, (Tp, Pp), 1)
                  < num_patches)
     sim_masked = sim * tmask
-    big = jnp.float32(3.4e38)
+    # ±2 sentinel (cosines live in [-1, 1]); a finfo.max sentinel
+    # overflows sim_max - sim_min to -inf on masked rows and NaNs the
+    # backward — see objectives/losses.py::sparc_alignment_weights.
+    big = jnp.float32(2.0)
     consider = (tmask > 0) & col_valid
     sim_min = jnp.min(jnp.where(consider, sim_masked, big), axis=-1,
                       keepdims=True)

@@ -291,3 +291,29 @@ def test_sparc_stays_finite_under_collapse():
                      inverse_temperature=0.07)
     for k, val in out.items():
         assert np.isfinite(float(val)), (k, float(val))
+
+
+def test_sparc_grads_finite_with_masked_rows():
+    """Regression: a fully-masked token row used to poison the BACKWARD
+    with NaN (finfo.max sentinels made sim_max - sim_min overflow to -inf
+    in the min-max normalization; the forward stayed finite). Triggered in
+    production whenever any caption contained a pad token."""
+    import jax
+    import jax.numpy as jnp
+    g2 = np.random.default_rng(5)
+    B, P, T, D = 2, 6, 5, 8
+    v = jnp.asarray(g2.normal(size=(B, P, D)).astype(np.float32))
+    l = jnp.asarray(g2.normal(size=(B, T, D)).astype(np.float32))
+    mask = np.ones((B, T), np.float32)
+    mask[0, 3:] = 0.0   # masked token rows
+    mask_j = jnp.asarray(mask)
+
+    def loss_fn(v, l):
+        return sparc_loss(v, l, mask_j,
+                          inverse_temperature=0.07)["total_loss"]
+
+    val = float(loss_fn(v, l))
+    gv, gl = jax.grad(loss_fn, argnums=(0, 1))(v, l)
+    assert np.isfinite(val)
+    assert np.isfinite(np.asarray(gv)).all()
+    assert np.isfinite(np.asarray(gl)).all()

@@ -161,15 +161,27 @@ def linear(p, x, dtype=None):
     return y
 
 
-def _xla_attention(q, k, v, bias, scale):
-    """Reference XLA attention path; softmax statistics in fp32.
+import os
+
+# Attention score precision: fp32 (default, HF-parity) or compute-dtype
+# (halves the [B, H, S, S] logits/probs HBM traffic — CLIP's trained
+# logit range ±~30 is safely inside bf16; flip via env or per-call).
+_FAST_ATTN_PROBS = os.environ.get("CFA_FAST_ATTENTION_PROBS", "0") == "1"
+
+
+def _xla_attention(q, k, v, bias, scale, fast_probs: Optional[bool] = None):
+    """Reference XLA attention path.
 
     q,k,v: [B, H, S, Dh]; bias: broadcastable to [B, H, Sq, Sk] or None.
+    ``fast_probs`` keeps logits/softmax in the compute dtype instead of
+    fp32 (None → the CFA_FAST_ATTENTION_PROBS env default).
     """
+    fast = _FAST_ATTN_PROBS if fast_probs is None else fast_probs
+    acc = q.dtype if fast else jnp.float32
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=acc)
     if bias is not None:
-        logits = logits + bias
+        logits = logits + bias.astype(acc)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 

@@ -210,3 +210,34 @@ def test_full_vit_b32_parity_slow():
     np.testing.assert_allclose(
         np.asarray(out.logits_per_image),
         ref.logits_per_image.numpy(), rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("name,vit_layers,proj", [
+    ("ViT-B/32", 12, 512), ("ViT-B/16", 12, 512), ("ViT-L/14", 24, 768)])
+def test_model_family_shapes(name, vit_layers, proj):
+    """All three reference model families (finetuner.py:296 trains B/32;
+    vlms-are-blind/launch_eval.sh evals L/14) init and trace correctly."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = CLIPConfig.from_name(name)
+    assert cfg.vision.num_layers == vit_layers
+    assert cfg.projection_dim == proj
+    params = jax.eval_shape(
+        lambda k: __import__(
+            "clip_finegrained_alignment_tpu.models.clip",
+            fromlist=["clip"]).init_clip_params(k, cfg),
+        jax.random.key(0))
+    assert params["visual_projection"]["kernel"].shape == \
+        (cfg.vision.hidden_size, proj)
+    # full forward traces with the right output shapes (no FLOPs spent)
+    B = 2
+    out = jax.eval_shape(
+        lambda p, px, ids: jclip.clip_forward(p, px, ids, cfg),
+        params,
+        jax.ShapeDtypeStruct((B, cfg.vision.image_size,
+                              cfg.vision.image_size, 3), np.float32),
+        jax.ShapeDtypeStruct((B, 77), np.int32))
+    assert out.logits_per_image.shape == (B, B)
+    assert out.vision_last_hidden_state.shape == \
+        (B, cfg.vision.seq_len, cfg.vision.hidden_size)

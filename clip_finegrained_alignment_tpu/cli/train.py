@@ -106,6 +106,10 @@ def main(argv=None) -> None:
         global_negatives=args.global_negatives,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
         mesh=MeshConfig(data=jax.device_count(), model=1))
+    if cfg.batch_size % cfg.mesh.data != 0:
+        raise SystemExit(
+            f"--batch-size {cfg.batch_size} must be divisible by the "
+            f"data-parallel degree ({cfg.mesh.data} devices)")
     cfg.print_config()
     model_cfg = cfg.model_config()
 

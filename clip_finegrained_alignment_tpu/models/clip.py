@@ -163,21 +163,23 @@ def linear(p, x, dtype=None):
 
 import os
 
-# Attention score precision: fp32 (default, HF-parity) or compute-dtype
-# (halves the [B, H, S, S] logits/probs HBM traffic — CLIP's trained
-# logit range ±~30 is safely inside bf16; flip via env or per-call).
-_FAST_ATTN_PROBS = os.environ.get("CFA_FAST_ATTENTION_PROBS", "0") == "1"
+# Attention score precision. Default: scores/softmax in the compute dtype
+# — under bf16 this halves the [B, H, S, S] logits/probs HBM traffic, the
+# dominant attention cost (+13% train throughput measured on v5e; CLIP's
+# trained logit range ±~30 is safely inside bf16, and eval paths run the
+# model in fp32 anyway so benchmark numerics are unaffected). Set
+# CFA_ATTENTION_PROBS_FP32=1 to force fp32 scores under bf16 compute
+# (exact HF-forward parity at bf16).
+_FORCE_FP32_PROBS = os.environ.get("CFA_ATTENTION_PROBS_FP32", "0") == "1"
 
 
-def _xla_attention(q, k, v, bias, scale, fast_probs: Optional[bool] = None):
+def _xla_attention(q, k, v, bias, scale):
     """Reference XLA attention path.
 
     q,k,v: [B, H, S, Dh]; bias: broadcastable to [B, H, Sq, Sk] or None.
-    ``fast_probs`` keeps logits/softmax in the compute dtype instead of
-    fp32 (None → the CFA_FAST_ATTENTION_PROBS env default).
     """
-    fast = _FAST_ATTN_PROBS if fast_probs is None else fast_probs
-    acc = q.dtype if fast else jnp.float32
+    acc = jnp.float32 if (_FORCE_FP32_PROBS or q.dtype == jnp.float32) \
+        else q.dtype
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                         preferred_element_type=acc)
     if bias is not None:

@@ -1,0 +1,77 @@
+"""CLI end-to-end tests (tiny model, procedural data, CPU mesh):
+generate → train → resume → evaluate, all through the public entry
+points."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    from clip_finegrained_alignment_tpu.cli.generate_data import main
+    main(["--procedural", "--num-samples", "16",
+          "--output-dir", str(d / "synth"), "--image-size", "64",
+          "--max-objects", "3"])
+    return d
+
+
+def train_args(d, epochs, extra=()):
+    return ["--annotations", str(d / "synth" / "synthetic_annotations.json"),
+            "--model", "tiny", "--loss-type", "clip",
+            "--epochs", str(epochs), "--batch-size", "8",
+            "--grad-accum", "1", "--no-amp", "--lr", "1e-3",
+            "--experiment-name", "cli_test",
+            "--checkpoint-dir", str(d / "ckpts"), "--save-every", "1",
+            *extra]
+
+
+def test_train_and_resume(workdir, capsys):
+    from clip_finegrained_alignment_tpu.cli.train import main
+    main(train_args(workdir, 1))
+    best = workdir / "ckpts" / "cli_test" / "best"
+    assert best.is_dir()
+    meta = json.loads((best / "meta.json").read_text())
+    assert meta["global_step"] == 2  # 16 samples / batch 8
+
+    # Resume: epoch counter recomputed from global_step
+    # (finetuner.py:339-342 behavior), continues to epoch 2.
+    main(train_args(workdir, 2, ["--resume"]))
+    out = capsys.readouterr().out
+    assert "resumed from" in out
+    # best/ only refreshes on a new best loss; the periodic epoch_1
+    # snapshot proves the second epoch ran from the restored counter.
+    meta2 = json.loads((workdir / "ckpts" / "cli_test" / "epoch_1" /
+                        "meta.json").read_text())
+    assert meta2["global_step"] == 4
+    assert meta2["epoch"] == 1
+
+
+def test_evaluate_from_cli_checkpoint(workdir, capsys):
+    from clip_finegrained_alignment_tpu.cli.evaluate import main
+    outdir = str(workdir / "evalout")
+    main(["countbench", "--model", "tiny", "--dataset", "procedural",
+          "--checkpoint", str(workdir / "ckpts" / "cli_test" / "best"),
+          "--output-dir", outdir, "--batch-size", "8"])
+    metrics = json.loads(
+        open(os.path.join(outdir, "countbench_metrics.json")).read())
+    assert metrics["total_samples"] > 0
+    assert 0.0 <= metrics["accuracy"] <= 1.0
+
+
+def test_train_count_loss_with_epoch_eval(workdir, capsys):
+    from clip_finegrained_alignment_tpu.cli.train import main
+    main(["--annotations",
+          str(workdir / "synth" / "synthetic_annotations.json"),
+          "--model", "tiny", "--loss-type", "count",
+          "--epochs", "1", "--batch-size", "8", "--grad-accum", "1",
+          "--no-amp", "--experiment-name", "cli_count",
+          "--checkpoint-dir", str(workdir / "ckpts"),
+          "--eval-every-epoch"])
+    out = capsys.readouterr().out
+    assert "counting-eval accuracy" in out
+    assert os.path.exists(workdir / "ckpts" / "cli_count" /
+                          "confusion_epoch_0.png")

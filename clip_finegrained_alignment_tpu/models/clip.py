@@ -62,18 +62,11 @@ def _init_layernorm(d, dtype=jnp.float32):
 
 def _init_encoder_layer(key, d, d_ff, dtype=jnp.float32):
     ks = jax.random.split(key, 6)
-    # q/k/v projections are stored FUSED as one [d, 3d] kernel: one wide
-    # MXU matmul instead of three thin ones (matters most for the text
-    # tower's small shapes). Layout: [..., 0:d]=q, [d:2d]=k, [2d:3d]=v.
-    qkv = {
-        "kernel": jnp.concatenate(
-            [_init_linear(ks[i], d, d, dtype)["kernel"]
-             for i in range(3)], axis=1),
-        "bias": jnp.zeros((3 * d,), dtype),
-    }
     return {
         "ln1": _init_layernorm(d, dtype),
-        "qkv": qkv,
+        "q": _init_linear(ks[0], d, d, dtype),
+        "k": _init_linear(ks[1], d, d, dtype),
+        "v": _init_linear(ks[2], d, d, dtype),
         "out": _init_linear(ks[3], d, d, dtype),
         "ln2": _init_layernorm(d, dtype),
         "fc1": _init_linear(ks[4], d, d_ff, dtype),
@@ -204,10 +197,9 @@ def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False):
     def split_heads(y):
         return y.reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
 
-    qkv = linear(layer_p["qkv"], x, dtype)          # [B, S, 3D] fused
-    q = split_heads(qkv[..., :D])
-    k = split_heads(qkv[..., D:2 * D])
-    v = split_heads(qkv[..., 2 * D:])
+    q = split_heads(linear(layer_p["q"], x, dtype))
+    k = split_heads(linear(layer_p["k"], x, dtype))
+    v = split_heads(linear(layer_p["v"], x, dtype))
 
     if use_pallas:
         from ..ops.attention import flash_attention

@@ -48,16 +48,11 @@ def _encoder_layers(sd: Mapping[str, Any], prefix: str, num_layers: int):
     layers = []
     for i in range(num_layers):
         lp = f"{prefix}.layers.{i}"
-        q = _linear(sd, f"{lp}.self_attn.q_proj")
-        k = _linear(sd, f"{lp}.self_attn.k_proj")
-        v = _linear(sd, f"{lp}.self_attn.v_proj")
         layers.append({
             "ln1": _layernorm(sd, f"{lp}.layer_norm1"),
-            # fused [D, 3D] qkv projection (models/clip.py layout)
-            "qkv": {"kernel": jnp.concatenate(
-                        [q["kernel"], k["kernel"], v["kernel"]], axis=1),
-                    "bias": jnp.concatenate(
-                        [q["bias"], k["bias"], v["bias"]])},
+            "q": _linear(sd, f"{lp}.self_attn.q_proj"),
+            "k": _linear(sd, f"{lp}.self_attn.k_proj"),
+            "v": _linear(sd, f"{lp}.self_attn.v_proj"),
             "out": _linear(sd, f"{lp}.self_attn.out_proj"),
             "ln2": _layernorm(sd, f"{lp}.layer_norm2"),
             "fc1": _linear(sd, f"{lp}.mlp.fc1"),

@@ -30,14 +30,12 @@ from .mesh import MODEL_AXIS
 # Pytree key-path suffix → PartitionSpec for the stacked [L, ...] layer
 # params. None → replicated.
 _LAYER_RULES = {
-    # fused qkv [L, D, 3D]: column-parallel. NOTE: sharding the fused 3D
-    # output dim splits each of q/k/v across devices only when 3D/tp keeps
-    # whole q|k|v blocks per device — guaranteed because tp divides D and
-    # the blocks are laid out contiguously, but the per-device slice mixes
-    # blocks for tp not dividing 3; validate_tp_divisibility enforces
-    # D % tp == 0 which keeps head groups intact.
-    ("qkv", "kernel"): P(None, None, MODEL_AXIS),
-    ("qkv", "bias"): P(None, MODEL_AXIS),
+    ("q", "kernel"): P(None, None, MODEL_AXIS),
+    ("q", "bias"): P(None, MODEL_AXIS),
+    ("k", "kernel"): P(None, None, MODEL_AXIS),
+    ("k", "bias"): P(None, MODEL_AXIS),
+    ("v", "kernel"): P(None, None, MODEL_AXIS),
+    ("v", "bias"): P(None, MODEL_AXIS),
     ("out", "kernel"): P(None, MODEL_AXIS, None),
     ("out", "bias"): P(),
     ("fc1", "kernel"): P(None, None, MODEL_AXIS),

@@ -85,3 +85,22 @@ def test_tp_requires_global_negatives(eight_devices):
     mesh = pmesh.make_mesh(cfg.mesh, eight_devices)
     with pytest.raises(ValueError, match="global_negatives"):
         make_train_step(cfg, CFG, opt, mesh=mesh)
+
+
+def test_tp_checkpoint_roundtrip(rng, eight_devices, tmp_path):
+    """TP-sharded params save (gathered on host) and restore to the same
+    values — the checkpoint layer must be sharding-agnostic."""
+    from clip_finegrained_alignment_tpu.train.checkpoint import \
+        CheckpointManager
+    mesh = pmesh.make_mesh(MeshConfig(data=4, model=2), eight_devices)
+    params = m.init_clip_params(jax.random.key(7), CFG)
+    sharded = shard_params(params, mesh)
+    mgr = CheckpointManager(str(tmp_path / "tp_ckpt"), save_every=1)
+    mgr.save(epoch=0, params=sharded, opt_state={"dummy": jnp.zeros(3)},
+             global_step=1, best_loss=1.0, avg_loss=1.0, is_best=True,
+             config=None)
+    like = {"params": params, "opt_state": {"dummy": jnp.zeros(3)}}
+    state, meta = mgr.restore("best", like=like)
+    for a, b in zip(jax.tree.leaves(state["params"]),
+                    jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -31,9 +31,18 @@ MODEL_AXIS = "model"
 def distributed_init(**kwargs) -> None:
     """Multi-host process bootstrap — the analogue of
     ``dist.init_process_group("nccl")`` + the MASTER_ADDR/PORT plumbing in
-    ``dist_train.sh:18-21``. On a single host this is a no-op; on a multi-host
-    TPU pod slice it wires up the DCN coordination service."""
-    if jax.process_count() > 1 or kwargs:
+    ``dist_train.sh:18-21``. On a single host this is a no-op; on a
+    multi-host TPU pod slice it wires up the DCN coordination service.
+
+    Triggered by explicit kwargs (coordinator_address etc.), by
+    ``CFA_DISTRIBUTED=1``, or by the standard coordinator env vars — NOT
+    by ``jax.process_count()``, which reads 1 *until* initialization on a
+    pod (the check would never fire where it matters)."""
+    import os
+    multihost_env = (os.environ.get("CFA_DISTRIBUTED") == "1"
+                     or os.environ.get("JAX_COORDINATOR_ADDRESS")
+                     or os.environ.get("COORDINATOR_ADDRESS"))
+    if kwargs or multihost_env:
         jax.distributed.initialize(**kwargs)
 
 

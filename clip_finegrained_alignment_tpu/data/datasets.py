@@ -215,12 +215,15 @@ class CountingDataPipeline:
             return iter(())
         q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
         stop = object()
+        failure: list = []
 
         def producer():
             try:
                 for b in range(nb):
                     sl = idx[b * self.batch_size:(b + 1) * self.batch_size]
                     q.put(self._make_batch(sl))
+            except BaseException as e:  # surface in the consumer, don't
+                failure.append(e)       # silently truncate the epoch
             finally:
                 q.put(stop)
 
@@ -230,6 +233,8 @@ class CountingDataPipeline:
             while True:
                 item = q.get()
                 if item is stop:
+                    if failure:
+                        raise failure[0]
                     return
                 yield item
 

@@ -19,7 +19,6 @@ The thresholded-correctness rule (``cb_eval.py:280-284``,
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -65,10 +64,6 @@ class TemplateScorer:
             self.params, jnp.asarray(pixel_values),
             jnp.asarray(template_ids), jnp.asarray(template_mask)))
 
-    def image_embeddings(self, pixel_values) -> np.ndarray:
-        fn = jax.jit(functools.partial(m.encode_image, cfg=self.cfg))
-        return np.asarray(fn(self.params,
-                             jnp.asarray(pixel_values)))
 
 
 def pad_templates(template_ids_list, pos_indices_list, max_templates: int,

@@ -1,0 +1,295 @@
+"""Blockwise (flash-style) attention Pallas kernel for long sequences.
+
+``ops/attention.py`` holds the whole [S, S] score tile in VMEM — optimal at
+CLIP's 77/197-token sequences but VMEM-bound beyond a few thousand tokens.
+This module is the sequence-scalable variant SURVEY.md §5 calls for
+("the Pallas attention kernel should nonetheless be written blockwise so
+sequence scaling is a kernel parameter, not a rewrite"):
+
+* **Forward**: grid (B, H, Q-blocks); an inner ``fori_loop`` streams KV
+  blocks through VMEM maintaining the running max ``m``, normalizer ``l``,
+  and unnormalized accumulator — the standard online-softmax recurrence.
+  Emits the output and the log-sum-exp per row (the backward residual).
+* **Backward**: two blockwise kernels recompute scores per (Q, K) block
+  pair from q, k, v, lse (no [S, S] tensor ever materializes):
+  dq over the Q-block grid, dk/dv over the KV-block grid, using the
+  flash-2 identity ds = p ∘ (dp − rowsum(do ∘ o)).
+
+Numerically validated against the XLA reference path (fwd + grads) in
+``tests/test_ops.py``; selected at call sites via
+``flash_attention(..., blockwise=True)`` or automatically for sequences
+longer than ``BLOCKWISE_THRESHOLD``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e9
+BLOCKWISE_THRESHOLD = 1024  # use the fused whole-tile kernel below this
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+                block_k: int, seq_k: int):
+    """One (b, h, qblock): stream KV blocks with online softmax.
+
+    q [Bq, D] (pre-scaled); k/v [Sk, D]; bias [Bq, Sk]; out [Bq, D];
+    lse [Bq, 1]."""
+    q = q_ref[0, 0]                                  # [Bq, D]
+    Bq, D = q.shape
+    nk = seq_k // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[0, 0, pl.ds(i * block_k, block_k)]     # [Bk, D]
+        v_blk = v_ref[0, 0, pl.ds(i * block_k, block_k)]
+        s = jax.lax.dot_general(                      # [Bq, Bk] fp32
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + bias_ref[0, 0, :, pl.ds(i * block_k, block_k)]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                        # [Bq, Bk]
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((Bq, 1), _NEG, jnp.float32)
+    l0 = jnp.zeros((Bq, 1), jnp.float32)
+    acc0 = jnp.zeros((Bq, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l)).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, *, block_k: int, seq_k: int):
+    """dq for one (b, h, qblock): dq = Σ_kv ds @ k,
+    ds = p ∘ (dpᵀdo − delta)."""
+    q = q_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]                               # [Bq, 1]
+    delta = delta_ref[0, 0]                           # [Bq, 1]
+    Bq, D = q.shape
+    nk = seq_k // block_k
+
+    def body(i, dq):
+        k_blk = k_ref[0, 0, pl.ds(i * block_k, block_k)]
+        v_blk = v_ref[0, 0, pl.ds(i * block_k, block_k)]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + bias_ref[0, 0, :, pl.ds(i * block_k, block_k)]
+        p = jnp.exp(s - lse)                          # [Bq, Bk]
+        dp = jax.lax.dot_general(                     # do vᵀ
+            do, v_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, k_blk.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, nk, body, jnp.zeros((Bq, D), jnp.float32))
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                    delta_ref, dk_ref, dv_ref, *, block_q: int,
+                    seq_q: int):
+    """dk/dv for one (b, h, kvblock): stream Q blocks."""
+    k = k_ref[0, 0]                                   # [Bk, D]
+    v = v_ref[0, 0]
+    Bk, D = k.shape
+    nq = seq_q // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, 0, pl.ds(i * block_q, block_q)]      # [Bq, D]
+        do_blk = do_ref[0, 0, pl.ds(i * block_q, block_q)
+                        ].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)]      # [Bq, 1]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)]
+        s = jax.lax.dot_general(                      # [Bq, Bk]
+            q_blk, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + bias_ref[0, 0, pl.ds(i * block_q, block_q)]
+        p = jnp.exp(s - lse)
+        dv = dv + jax.lax.dot_general(                # pᵀ do
+            p, do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(                     # do vᵀ
+            do_blk, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)                         # [Bq, Bk]
+        dk = dk + jax.lax.dot_general(                # dsᵀ q
+            ds, q_blk.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((Bk, D), jnp.float32)
+    dv0 = jnp.zeros((Bk, D), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host wrappers
+# ---------------------------------------------------------------------------
+
+def _prepare(q, k, v, bias, scale, block_q, block_k):
+    B, H, S, D = q.shape
+    Sq = _round_up(S, block_q)
+    Sk = _round_up(S, block_k)
+    qs = (q * scale).astype(q.dtype)
+    if Sq != S:
+        qs = jnp.pad(qs, [(0, 0), (0, 0), (0, Sq - S), (0, 0)])
+    kp, vp = k, v
+    if Sk != S:
+        cfg = [(0, 0), (0, 0), (0, Sk - S), (0, 0)]
+        kp = jnp.pad(k, cfg)
+        vp = jnp.pad(v, cfg)
+    full_bias = jnp.zeros((1, 1, Sq, Sk), jnp.float32)
+    if bias is not None:
+        full_bias = full_bias + jnp.pad(
+            bias.astype(jnp.float32),
+            [(0, 0), (0, 0), (0, Sq - S), (0, Sk - S)])
+    if Sk != S:
+        full_bias = full_bias + jnp.where(
+            jnp.arange(Sk) >= S, _NEG, 0.0)[None, None, None, :]
+    return qs, kp, vp, full_bias, (B, H, S, D, Sq, Sk)
+
+
+def _specs(B, H, Sq, Sk, D, block_q, bias_batched):
+    grid = (B, H, Sq // block_q)
+    qspec = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec(
+        (1, 1, block_q, Sk),
+        (lambda b, h, i: (b, 0, i, 0)) if bias_batched
+        else (lambda b, h, i: (0, 0, i, 0)),
+        memory_space=pltpu.VMEM)
+    scalar_q = pl.BlockSpec((1, 1, block_q, 1),
+                            lambda b, h, i: (b, h, i, 0),
+                            memory_space=pltpu.VMEM)
+    return grid, qspec, kvspec, bspec, scalar_q
+
+
+def _fwd(q, k, v, bias, scale, block_q, block_k):
+    qs, kp, vp, bp, (B, H, S, D, Sq, Sk) = _prepare(
+        q, k, v, bias, scale, block_q, block_k)
+    grid, qspec, kvspec, bspec, scalar_q = _specs(
+        B, H, Sq, Sk, D, block_q, bp.shape[0] == B)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_k=block_k, seq_k=Sk),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, bspec],
+        out_specs=(qspec, scalar_q),
+        out_shape=(jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, H, Sq, 1), jnp.float32)),
+        interpret=_interpret(),
+    )(qs, kp, vp, bp)
+    return o[:, :, :S], lse
+
+
+def _bwd(q, k, v, bias, scale, block_q, block_k, o, lse, do):
+    qs, kp, vp, bp, (B, H, S, D, Sq, Sk) = _prepare(
+        q, k, v, bias, scale, block_q, block_k)
+    pad_q = [(0, 0), (0, 0), (0, Sq - S), (0, 0)]
+    dop = jnp.pad(do, pad_q) if Sq != S else do
+    op = jnp.pad(o, pad_q) if Sq != S else o
+    lse_p = lse  # already [B, H, Sq, 1]
+    # delta = rowsum(do * o) (flash-2)
+    delta = jnp.sum(dop.astype(jnp.float32) * op.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+
+    grid, qspec, kvspec, bspec, scalar_q = _specs(
+        B, H, Sq, Sk, D, block_q, bp.shape[0] == B)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=block_k, seq_k=Sk),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, bspec, qspec, scalar_q,
+                  scalar_q],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        interpret=_interpret(),
+    )(qs, kp, vp, bp, dop, lse_p, delta)
+
+    # dk/dv: grid over KV blocks; full q/do/lse/delta visible per cell.
+    grid_kv = (B, H, Sk // block_k)
+    kblk = pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
+                        memory_space=pltpu.VMEM)
+    qfull = pl.BlockSpec((1, 1, Sq, D), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sfull = pl.BlockSpec((1, 1, Sq, 1), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bTspec = pl.BlockSpec(
+        (1, 1, Sq, block_k),
+        (lambda b, h, i: (b, 0, 0, i)) if bp.shape[0] == B
+        else (lambda b, h, i: (0, 0, 0, i)),
+        memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_q=block_q, seq_q=Sq),
+        grid=grid_kv,
+        in_specs=[qfull, kblk, kblk, bTspec, qfull, sfull, sfull],
+        out_specs=(kblk, kblk),
+        out_shape=(jax.ShapeDtypeStruct((B, H, Sk, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, H, Sk, D), q.dtype)),
+        interpret=_interpret(),
+    )(qs, kp, vp, bp, dop, lse_p, delta)
+
+    return (dq[:, :, :S] * scale).astype(q.dtype), \
+        dk[:, :, :S], dv[:, :, :S]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def blockwise_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                              bias: Optional[jax.Array], scale: float,
+                              block_q: int = 128,
+                              block_k: int = 128) -> jax.Array:
+    """Streaming-softmax attention; memory O(S·block) instead of O(S²).
+    Same contract as ``ops.attention.flash_attention``."""
+    o, _ = _fwd(q, k, v, bias, scale, block_q, block_k)
+    return o
+
+
+def _bfa_fwd(q, k, v, bias, scale, block_q, block_k):
+    o, lse = _fwd(q, k, v, bias, scale, block_q, block_k)
+    return o, (q, k, v, bias, o, lse)
+
+
+def _bfa_bwd(scale, block_q, block_k, res, do):
+    q, k, v, bias, o, lse = res
+    dq, dk, dv = _bwd(q, k, v, bias, scale, block_q, block_k, o, lse, do)
+    return dq, dk, dv, None
+
+
+blockwise_flash_attention.defvjp(_bfa_fwd, _bfa_bwd)

@@ -143,3 +143,49 @@ def test_sparc_loss_fused_flag_equivalence(rng):
                                float(b["total_loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(a["local_loss"]),
                                float(b["local_loss"]), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Blockwise flash attention (long-sequence variant)
+# ---------------------------------------------------------------------------
+
+def test_blockwise_forward_matches_xla(rng):
+    from clip_finegrained_alignment_tpu.ops.flash_attention import \
+        blockwise_flash_attention
+    B, H, S, D = 1, 2, 160, 16     # S spans multiple 64-blocks + padding
+    q, k, v = make_qkv(rng, B, H, S, D)
+    scale = D ** -0.5
+    ours = blockwise_flash_attention(q, k, v, None, scale, 64, 64)
+    ref = _xla_attention(q, k, v, None, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_blockwise_forward_with_causal_bias(rng):
+    from clip_finegrained_alignment_tpu.ops.flash_attention import \
+        blockwise_flash_attention
+    B, H, S, D = 2, 1, 96, 8
+    q, k, v = make_qkv(rng, B, H, S, D)
+    causal = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)[None, None]
+    scale = D ** -0.5
+    ours = blockwise_flash_attention(q, k, v, causal, scale, 32, 32)
+    ref = _xla_attention(q, k, v, causal, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_blockwise_grads_match_xla(rng):
+    from clip_finegrained_alignment_tpu.ops.flash_attention import \
+        blockwise_flash_attention
+    B, H, S, D = 1, 2, 80, 8
+    q, k, v = make_qkv(rng, B, H, S, D)
+    scale = D ** -0.5
+
+    go = jax.grad(lambda q, k, v: (blockwise_flash_attention(
+        q, k, v, None, scale, 32, 32) ** 2).sum(), argnums=(0, 1, 2))(
+        q, k, v)
+    gr = jax.grad(lambda q, k, v: (_xla_attention(
+        q, k, v, None, scale) ** 2).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(go, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

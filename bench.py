@@ -47,10 +47,11 @@ def main():
 
     remat = os.environ.get("BENCH_REMAT", "dots")
     remat = {"0": False, "1": True, "dots": "dots"}[remat]
+    model_name = os.environ.get("BENCH_MODEL", "ViT-B/16")
 
-    model_cfg = CLIPConfig.vit_b16()
+    model_cfg = CLIPConfig.from_name(model_name)
     cfg = TrainConfig(
-        clip_model="ViT-B/16", loss_type="sparc", optimizer_type="adamspd",
+        clip_model=model_name, loss_type="sparc", optimizer_type="adamspd",
         inverse_temperature=0.07, batch_size=batch_size,
         gradient_accumulation_steps=1, use_amp=True, remat=remat,
         use_pallas_attention=use_pallas, use_fused_sparc=use_fused_sparc)
@@ -96,7 +97,8 @@ def main():
     n_chips = 1  # single-chip bench; pairs/sec/chip
     pairs_per_sec = batch_size * steps / dt / n_chips
     print(json.dumps({
-        "metric": "sparc_spd_finetune_throughput_vitb16",
+        "metric": "sparc_spd_finetune_throughput_"
+                  + model_name.lower().replace("-", "").replace("/", ""),
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(

@@ -139,14 +139,20 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+_FAST_LN = os.environ.get("CFA_FAST_LAYERNORM", "0") == "1"
+
+
 def layer_norm(p, x, eps):
-    """LayerNorm computed in fp32 regardless of compute dtype."""
+    """LayerNorm with fp32 statistics (default policy). The env-gated fast
+    path keeps everything in the compute dtype — measured as a perf
+    experiment, not the default (mean/var of 768-dim bf16 rows lose real
+    precision)."""
     dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    xs = x if _FAST_LN else x.astype(jnp.float32)
+    mean = jnp.mean(xs, axis=-1, keepdims=True)
+    var = jnp.var(xs, axis=-1, keepdims=True)
+    y = (xs - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(y.dtype) + p["bias"].astype(y.dtype)
     return y.astype(dtype)
 
 

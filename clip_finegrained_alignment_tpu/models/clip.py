@@ -27,7 +27,7 @@ mask, EOS-token pooling, CLS pooling + post-LN for vision, learned
 
 from __future__ import annotations
 
-import functools
+import os
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -166,8 +166,6 @@ def linear(p, x, dtype=None):
         y = y + p["bias"].astype(y.dtype)
     return y
 
-
-import os
 
 # Attention score precision. Default: scores/softmax in the compute dtype
 # — under bf16 this halves the [B, H, S, S] logits/probs HBM traffic, the

@@ -75,3 +75,15 @@ def test_train_count_loss_with_epoch_eval(workdir, capsys):
     assert "counting-eval accuracy" in out
     assert os.path.exists(workdir / "ckpts" / "cli_count" /
                           "confusion_epoch_0.png")
+
+
+def test_evaluate_vlmsblind_procedural(workdir):
+    from clip_finegrained_alignment_tpu.cli.evaluate import main
+    outdir = str(workdir / "evalout_vb")
+    main(["vlmsblind", "--model", "tiny", "--dataset", "procedural",
+          "--output-dir", outdir, "--batch-size", "8"])
+    metrics = json.loads(
+        open(os.path.join(outdir, "vlmsblind_metrics.json")).read())
+    # the fixture provides 4 drawable tasks; the other 5 report 0 samples
+    per_task_totals = [m["total_samples"] for m in metrics.values()]
+    assert sum(1 for t in per_task_totals if t > 0) == 4

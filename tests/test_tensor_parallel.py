@@ -104,3 +104,19 @@ def test_tp_checkpoint_roundtrip(rng, eight_devices, tmp_path):
     for a, b in zip(jax.tree.leaves(state["params"]),
                     jax.tree.leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_with_tp_mesh(rng, eight_devices):
+    """Full Trainer construction + steps on a (4, 2) mesh: param layout,
+    anchor/optimizer-state sharding inheritance, and loss decrease."""
+    from clip_finegrained_alignment_tpu.train.engine import Trainer
+    cfg = tiny_train_config(
+        global_negatives=True, optimizer_type="adamspd", lr=1e-3,
+        batch_size=8, gradient_accumulation_steps=1,
+        mesh=MeshConfig(data=4, model=2))
+    mesh = pmesh.make_mesh(cfg.mesh, eight_devices)
+    trainer = Trainer(cfg, mesh=mesh)
+    batch = make_batch(rng, 8)
+    losses = [float(trainer.step(batch)["total_loss"]) for _ in range(4)]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]

@@ -208,6 +208,11 @@ def main(argv=None) -> None:
             print(f"epoch {epoch} counting-eval accuracy: {acc:.3f}")
             metrics_log.log(trainer.global_step, count_eval_accuracy=acc)
 
+    if profiling["active"]:  # run ended before the stop step
+        jax.profiler.stop_trace()
+        profiling["active"] = False
+        print(f"profile trace written to {args.profile_dir}")
+
     print(f"done: best_loss={trainer.best_loss:.4f} "
           f"steps={trainer.global_step} "
           f"throughput={meter.mean:.1f} pairs/s/chip")

@@ -37,6 +37,7 @@ def main():
     import os
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    accum = int(os.environ.get("BENCH_ACCUM", "1"))
     # Pallas kernels are measured with BENCH_PALLAS=1; default off for the
     # driver run because each Pallas kernel adds ~5 min of remote-compile
     # time in this tunnel environment (the kernels themselves are
@@ -53,7 +54,7 @@ def main():
     cfg = TrainConfig(
         clip_model=model_name, loss_type="sparc", optimizer_type="adamspd",
         inverse_temperature=0.07, batch_size=batch_size,
-        gradient_accumulation_steps=1, use_amp=True, remat=remat,
+        gradient_accumulation_steps=accum, use_amp=True, remat=remat,
         use_pallas_attention=use_pallas, use_fused_sparc=use_fused_sparc)
 
     params = m.init_clip_params(jax.random.key(0), model_cfg)
@@ -65,12 +66,12 @@ def main():
     rng = np.random.default_rng(0)
     v, t = model_cfg.vision, model_cfg.text
     ids = rng.integers(1, t.vocab_size - 2,
-                       size=(1, batch_size, t.max_position_embeddings)
+                       size=(accum, batch_size, t.max_position_embeddings)
                        ).astype(np.int32)
     ids[..., -1] = t.eos_token_id
     batch = {
         "pixel_values": jnp.asarray(rng.normal(
-            size=(1, batch_size, v.image_size, v.image_size, 3)
+            size=(accum, batch_size, v.image_size, v.image_size, 3)
         ).astype(np.float32)),
         "input_ids": jnp.asarray(ids),
     }
@@ -95,7 +96,7 @@ def main():
     dt = time.perf_counter() - t0
 
     n_chips = 1  # single-chip bench; pairs/sec/chip
-    pairs_per_sec = batch_size * steps / dt / n_chips
+    pairs_per_sec = accum * batch_size * steps / dt / n_chips
     print(json.dumps({
         "metric": "sparc_spd_finetune_throughput_"
                   + model_name.lower().replace("-", "").replace("/", ""),

@@ -35,14 +35,14 @@ def main():
     from clip_finegrained_alignment_tpu.train.engine import make_train_step
 
     import os
-    # Default regime: microbatch 64 x 4 accumulation steps (effective 256).
-    # The reference trains microbatched too (batch 32 x accum 4,
-    # finetuner.py:299,306), with contrastive negatives drawn per
-    # microbatch; measured sweep: 64x4 = 756 pairs/s vs 256-flat = 676
-    # (smaller per-microbatch attention tensors tile better under remat).
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # Default regime: microbatch 32 x 8 accumulation steps (effective 256).
+    # Microbatch 32 is exactly the reference's (batch 32 x accum 4,
+    # finetuner.py:299,306), so contrastive negatives-per-sample match the
+    # reference semantics. Measured sweep: 32x8 = 791 pairs/s, 64x4 = 756,
+    # flat 256 = 676 (smaller microbatches cut remat recompute traffic).
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    accum = int(os.environ.get("BENCH_ACCUM", "4"))
+    accum = int(os.environ.get("BENCH_ACCUM", "8"))
     # Pallas kernels are measured with BENCH_PALLAS=1; default off for the
     # driver run because each Pallas kernel adds ~5 min of remote-compile
     # time in this tunnel environment (the kernels themselves are

@@ -54,13 +54,15 @@ def main():
     remat = os.environ.get("BENCH_REMAT", "dots")
     remat = {"0": False, "1": True, "dots": "dots"}[remat]
     model_name = os.environ.get("BENCH_MODEL", "ViT-B/16")
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
 
     model_cfg = CLIPConfig.from_name(model_name)
     cfg = TrainConfig(
         clip_model=model_name, loss_type="sparc", optimizer_type="adamspd",
         inverse_temperature=0.07, batch_size=batch_size,
         gradient_accumulation_steps=accum, use_amp=True, remat=remat,
-        use_pallas_attention=use_pallas, use_fused_sparc=use_fused_sparc)
+        use_pallas_attention=use_pallas, use_fused_sparc=use_fused_sparc,
+        unroll_layers=unroll)
 
     params = m.init_clip_params(jax.random.key(0), model_cfg)
     anchor = jax.tree.map(jnp.copy, params)
@@ -80,6 +82,13 @@ def main():
         ).astype(np.float32)),
         "input_ids": jnp.asarray(ids),
     }
+
+    # Analytic model-FLOPs for MFU metering (fwd + 2x-fwd backward, the
+    # standard MFU convention: remat recompute NOT counted). XLA's
+    # cost_analysis() is unreliable through the remote-compile tunnel
+    # (under-reports ~80x), so this is computed from the architecture.
+    from clip_finegrained_alignment_tpu.utils.flops import sparc_train_step_flops
+    flops_per_step = sparc_train_step_flops(model_cfg, accum * batch_size)
 
     # Warmup (compile) — params/opt_state are donated, so thread them.
     params, opt_state, metrics = step(params, opt_state, batch)
@@ -102,14 +111,21 @@ def main():
 
     n_chips = 1  # single-chip bench; pairs/sec/chip
     pairs_per_sec = accum * batch_size * steps / dt / n_chips
-    print(json.dumps({
+    out = {
         "metric": "sparc_spd_finetune_throughput_"
                   + model_name.lower().replace("-", "").replace("/", ""),
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(
             pairs_per_sec / ESTIMATED_REFERENCE_PAIRS_PER_SEC, 3),
-    }))
+        "step_ms": round(dt / steps * 1000.0, 1),
+    }
+    if flops_per_step:
+        # v5e peak: 197 TFLOP/s bf16 (override for other chips).
+        peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+        out["mfu"] = round(flops_per_step * steps / dt / peak, 4)
+        out["tflops_per_step"] = round(flops_per_step / 1e12, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -200,6 +200,9 @@ class TrainConfig:
                                           # 556 vs 539 pairs/s/chip on
                                           # ViT-B/16 @ 256/v5e)
     use_fused_sparc: bool = False         # fused SPARC local-alignment kernel
+    unroll_layers: int = 1                # lax.scan unroll factor for the
+                                          # encoder layer loop (perf knob;
+                                          # identical math)
     global_negatives: bool = False        # all-gather embeddings across the
                                           # data axis for the contrastive loss
                                           # (upgrade over reference local-only

@@ -216,13 +216,17 @@ def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False):
 
 
 def encoder(params_stacked, x, bias, num_heads, eps, *, dtype,
-            use_pallas=False, remat=False):
+            use_pallas=False, remat=False, unroll=1):
     """Pre-LN transformer encoder over stacked layer params via lax.scan.
 
     ``remat=True`` wraps the layer body in ``jax.checkpoint`` so backward
     recomputes activations layer-by-layer instead of storing them — the
     standard TPU memory/FLOPs trade that keeps big batches inside HBM
     (replaces nothing in the reference; torch keeps all activations).
+
+    ``unroll`` is forwarded to ``lax.scan`` — unrolling the layer loop lets
+    XLA overlap weight prefetch with compute across layer boundaries at the
+    cost of a larger program (perf knob, identical math).
     """
 
     def body(h, layer_p):
@@ -245,7 +249,7 @@ def encoder(params_stacked, x, bias, num_heads, eps, *, dtype,
         policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable \
             if remat == "dots" else None
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
-    out, _ = jax.lax.scan(body, x, params_stacked)
+    out, _ = jax.lax.scan(body, x, params_stacked, unroll=unroll)
     return out
 
 
@@ -274,7 +278,7 @@ def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
 
 def vision_tower(params: Params, pixel_values: jax.Array, cfg: VisionConfig,
                  *, dtype=jnp.float32, use_pallas=False,
-                 remat=False) -> TowerOutput:
+                 remat=False, unroll=1) -> TowerOutput:
     """ViT image tower. ``pixel_values``: [B, H, W, 3] NHWC, normalized."""
     p = params
     x = patchify(pixel_values.astype(dtype), cfg.patch_size)
@@ -285,7 +289,8 @@ def vision_tower(params: Params, pixel_values: jax.Array, cfg: VisionConfig,
     x = x + p["position_embedding"].astype(dtype)[None]
     x = layer_norm(p["pre_layernorm"], x, cfg.layer_norm_eps)
     x = encoder(p["layers"], x, None, cfg.num_heads, cfg.layer_norm_eps,
-                dtype=dtype, use_pallas=use_pallas, remat=remat)
+                dtype=dtype, use_pallas=use_pallas, remat=remat,
+                unroll=unroll)
     pooled = layer_norm(p["post_layernorm"], x[:, 0], cfg.layer_norm_eps)
     return TowerOutput(last_hidden_state=x, pooled=pooled)
 
@@ -303,7 +308,7 @@ def _text_attention_bias(input_ids, attention_mask, seq_len):
 def text_tower(params: Params, input_ids: jax.Array, cfg: TextConfig,
                *, attention_mask: Optional[jax.Array] = None,
                dtype=jnp.float32, use_pallas=False,
-               remat=False) -> TowerOutput:
+               remat=False, unroll=1) -> TowerOutput:
     """Text transformer tower. ``input_ids``: [B, T] int32.
 
     Pooling follows HF: hidden state at the **first EOS token** position.
@@ -318,7 +323,8 @@ def text_tower(params: Params, input_ids: jax.Array, cfg: TextConfig,
     x = x + p["position_embedding"].astype(dtype)[None, :T]
     bias = _text_attention_bias(input_ids, attention_mask, T)
     x = encoder(p["layers"], x, bias, cfg.num_heads, cfg.layer_norm_eps,
-                dtype=dtype, use_pallas=use_pallas, remat=remat)
+                dtype=dtype, use_pallas=use_pallas, remat=remat,
+                unroll=unroll)
     x = layer_norm(p["final_layernorm"], x, cfg.layer_norm_eps)
     eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
                          axis=-1)
@@ -347,21 +353,22 @@ class CLIPOutput(NamedTuple):
 
 def encode_image(params: Params, pixel_values: jax.Array, cfg: CLIPConfig,
                  *, dtype=jnp.float32, use_pallas=False,
-                 remat=False) -> jax.Array:
+                 remat=False, unroll=1) -> jax.Array:
     """Projected image embedding (un-normalized), as HF ``get_image_features``
     / OpenAI ``model.encode_image`` (``count_finetuner.py:107``)."""
     out = vision_tower(params["vision"], pixel_values, cfg.vision,
-                       dtype=dtype, use_pallas=use_pallas, remat=remat)
+                       dtype=dtype, use_pallas=use_pallas, remat=remat,
+                       unroll=unroll)
     return linear(params["visual_projection"], out.pooled, dtype)
 
 
 def encode_text(params: Params, input_ids: jax.Array, cfg: CLIPConfig,
                 *, attention_mask=None, dtype=jnp.float32,
-                use_pallas=False, remat=False) -> jax.Array:
+                use_pallas=False, remat=False, unroll=1) -> jax.Array:
     """Projected text embedding (un-normalized)."""
     out = text_tower(params["text"], input_ids, cfg.text,
                      attention_mask=attention_mask, dtype=dtype,
-                     use_pallas=use_pallas, remat=remat)
+                     use_pallas=use_pallas, remat=remat, unroll=unroll)
     return linear(params["text_projection"], out.pooled, dtype)
 
 
@@ -369,15 +376,16 @@ def clip_forward(params: Params, pixel_values: jax.Array,
                  input_ids: jax.Array, cfg: CLIPConfig, *,
                  attention_mask: Optional[jax.Array] = None,
                  dtype=jnp.float32, use_pallas=False,
-                 remat=False) -> CLIPOutput:
+                 remat=False, unroll=1) -> CLIPOutput:
     """Full dual-tower forward returning everything any reference loss needs
     in one pass (the reference re-encodes for some paths, e.g.
     ``count_finetuner.py:107-123``; here one forward serves all)."""
     v = vision_tower(params["vision"], pixel_values, cfg.vision,
-                     dtype=dtype, use_pallas=use_pallas, remat=remat)
+                     dtype=dtype, use_pallas=use_pallas, remat=remat,
+                     unroll=unroll)
     t = text_tower(params["text"], input_ids, cfg.text,
                    attention_mask=attention_mask, dtype=dtype,
-                   use_pallas=use_pallas, remat=remat)
+                   use_pallas=use_pallas, remat=remat, unroll=unroll)
     image_embeds = linear(params["visual_projection"], v.pooled, dtype)
     text_embeds = linear(params["text_projection"], t.pooled, dtype)
 

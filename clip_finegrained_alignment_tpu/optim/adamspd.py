@@ -36,10 +36,16 @@ class AdamSPDState(NamedTuple):
 
 def _ratio(new_p, p, pre):
     """hardtanh((‖new_p-pre‖ - ‖p-pre‖)/‖new_p-pre‖, 0, 1)
-    (``optimizers.py:154-157``)."""
+    (``optimizers.py:154-157``).
+
+    Guarded at ``new_p == pre``: the reference divides by zero there
+    (NaN/-inf through hardtanh poisons the tensor). When curr == 0 the
+    projection term ``ratio * (new_p - pre)`` is zero for any finite ratio,
+    so ratio := 0 is exact, not an approximation."""
     curr = jnp.linalg.norm((new_p - pre).ravel())
     prev = jnp.linalg.norm((p - pre).ravel())
-    r = (curr - prev) / curr
+    safe = jnp.where(curr == 0.0, 1.0, curr)
+    r = jnp.where(curr == 0.0, 0.0, (curr - prev) / safe)
     return jnp.clip(r, 0.0, 1.0)
 
 

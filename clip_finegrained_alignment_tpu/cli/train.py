@@ -62,8 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "offline)")
     p.add_argument("--bpe-path", default=None,
                    help="CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz or "
-                        "an HF tokenizer dir); falls back to the hash "
-                        "tokenizer")
+                        "an HF tokenizer dir). Required unless "
+                        "$CLIP_BPE_PATH is set or "
+                        "CFA_ALLOW_HASH_TOKENIZER=1 opts into the "
+                        "hermetic hash tokenizer")
     p.add_argument("--eval-every-epoch", action="store_true",
                    help="run the counting batch-eval after each epoch "
                         "(count_finetuner.py:153-168 behavior)")

@@ -20,6 +20,7 @@ pipeline built for a TPU feed:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import queue
 import threading
@@ -133,11 +134,13 @@ class CountingDataPipeline:
         self.process_count = process_count
         self.prefetch = prefetch
         # Native C++ batch assembler (native/cfa_host.cc): one call per
-        # batch — threaded libjpeg/libpng decode + pad + box resize with
-        # the GIL released. "auto" uses it when the library builds;
-        # "never" forces the PIL path (eval-parity geometry for
-        # non-square COCO photos — synthetic training images are square,
-        # where both paths agree).
+        # batch — threaded libjpeg/libpng decode + geometry with the GIL
+        # released. Geometry matches the PIL path per mode: standard →
+        # shorter-side resize + center crop (HF-processor window,
+        # synthetic_dataloader.py:69-76), counterfactual → white pad to
+        # square (count_dataloader.py:12-24). Remaining difference: box
+        # filter vs PIL bicubic (same pixels, different kernel). "auto"
+        # uses it when the library builds; "never" forces PIL.
         if use_native not in ("auto", "always", "never"):
             raise ValueError(f"bad use_native {use_native!r}")
         if use_native == "never":
@@ -148,6 +151,9 @@ class CountingDataPipeline:
             if use_native == "always" and not self._native:
                 raise RuntimeError(
                     f"native loader unavailable: {native.build_error()}")
+        logging.getLogger(__name__).info(
+            "CountingDataPipeline image path: %s (mode=%s)",
+            "native C++ assembler" if self._native else "PIL", mode)
         # Tokenize all captions once up front — captions are small and
         # static; this removes BPE from the per-epoch hot path entirely.
         self._input_ids = self.tok([s.caption for s in dataset.samples],
@@ -190,9 +196,11 @@ class CountingDataPipeline:
         pixels = None
         if self._native:
             from .. import native
+            geom = native.MODE_PAD_SQUARE if self.mode == "counterfactual" \
+                else native.MODE_CENTER_CROP
             pixels = native.assemble_batch(
                 [self.ds[i].image_path for i in idx], self.image_size,
-                pad_to_square=(self.mode == "counterfactual"))
+                mode=geom)
         if pixels is None:
             pixels = np.stack([self._load_pixels(self.ds[i])
                                for i in idx])

@@ -57,9 +57,19 @@ def bytes_to_unicode() -> Dict[int, str]:
     return dict(zip(bs, (chr(c) for c in cs)))
 
 
+try:                                   # ftfy is what the OpenAI tokenizer
+    import ftfy                        # applies first; optional here — when
+    _fix_text = ftfy.fix_text          # present (parity hosts) we match it
+except ImportError:                    # exactly, otherwise clean UTF-8 text
+    _fix_text = None                   # is returned unchanged by fix_text.
+
+
 def basic_clean(text: str) -> str:
-    """html-unescape twice (the OpenAI tokenizer applies ftfy + unescape;
-    ftfy isn't installed, and for ASCII captions the two agree)."""
+    """ftfy.fix_text (when installed) + html-unescape twice — the OpenAI
+    tokenizer's cleanup (clip/simple_tokenizer.py). Without ftfy, mojibake
+    inputs may tokenize differently; well-formed UTF-8 is unaffected."""
+    if _fix_text is not None:
+        text = _fix_text(text)
     return html.unescape(html.unescape(text)).strip()
 
 
@@ -67,10 +77,23 @@ def whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
-_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[a-zA-ZÀ-￿]+|[0-9]|[^\sa-zA-Z0-9À-￿]+",
-    re.IGNORECASE)
+# The CLIP word-split pattern. The real pattern needs unicode categories
+# (\p{L}/\p{N}); the ``regex`` module (a transformers dependency, reliably
+# present) provides them — identical matches to the HF/OpenAI tokenizers.
+# The ``re`` fallback approximates letters with a range that misclassifies
+# some unicode punctuation (em-dash, CJK punctuation) as letters; only
+# ASCII captions are guaranteed bit-identical under the fallback.
+try:
+    import regex
+    _PAT = regex.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        regex.IGNORECASE)
+except ImportError:  # pragma: no cover - regex ships with transformers
+    _PAT = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[a-zA-ZÀ-￿]+|[0-9]|[^\sa-zA-Z0-9À-￿]+",
+        re.IGNORECASE)
 
 
 def _get_pairs(word: Tuple[str, ...]):
@@ -216,9 +239,15 @@ def load_hf_tokenizer(vocab_json: str, merges_txt: str) -> CLIPTokenizer:
     return CLIPTokenizer(merges, vocab=vocab)
 
 
-def load_tokenizer(path: Optional[str] = None):
-    """Best-effort loader: explicit path → $CLIP_BPE_PATH → HF cache →
-    ``HashTokenizer`` fallback (hermetic environments)."""
+def load_tokenizer(path: Optional[str] = None, *,
+                   allow_fallback: Optional[bool] = None):
+    """Load the CLIP BPE vocab: explicit path → $CLIP_BPE_PATH.
+
+    When no vocab file is found the default is to **fail loudly** —
+    token-id drift from the ``HashTokenizer`` stand-in silently breaks the
+    ±0.5% eval-parity contract. The hermetic fallback must be requested
+    explicitly (``allow_fallback=True`` or ``CFA_ALLOW_HASH_TOKENIZER=1``,
+    used by unit tests and offline smoke runs)."""
     candidates = []
     if path:
         candidates.append(path)
@@ -233,7 +262,18 @@ def load_tokenizer(path: Optional[str] = None):
                 return load_hf_tokenizer(vj, mt)
         elif os.path.exists(cand):
             return load_openai_bpe(cand)
-    return HashTokenizer()
+    if allow_fallback is None:
+        allow_fallback = os.environ.get(
+            "CFA_ALLOW_HASH_TOKENIZER", "0") == "1"
+    if allow_fallback:
+        return HashTokenizer()
+    raise FileNotFoundError(
+        "No CLIP BPE vocab found (searched: "
+        f"{candidates or 'nothing — no path given'}). Point --bpe-path or "
+        "$CLIP_BPE_PATH at bpe_simple_vocab_16e6.txt.gz or an HF tokenizer "
+        "dir (vocab.json + merges.txt). For hermetic runs without real "
+        "token ids, set CFA_ALLOW_HASH_TOKENIZER=1 (NOT valid for eval "
+        "parity).")
 
 
 # ---------------------------------------------------------------------------

@@ -139,7 +139,10 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-_FAST_LN = os.environ.get("CFA_FAST_LAYERNORM", "0") == "1"
+def _fast_ln() -> bool:
+    # Read at trace time (not import time) so setting the env var after
+    # import works; tracing happens once per compile, so this is free.
+    return os.environ.get("CFA_FAST_LAYERNORM", "0") == "1"
 
 
 def layer_norm(p, x, eps):
@@ -148,7 +151,7 @@ def layer_norm(p, x, eps):
     experiment, not the default (mean/var of 768-dim bf16 rows lose real
     precision)."""
     dtype = x.dtype
-    xs = x if _FAST_LN else x.astype(jnp.float32)
+    xs = x if _fast_ln() else x.astype(jnp.float32)
     mean = jnp.mean(xs, axis=-1, keepdims=True)
     var = jnp.var(xs, axis=-1, keepdims=True)
     y = (xs - mean) * jax.lax.rsqrt(var + eps)
@@ -171,10 +174,13 @@ def linear(p, x, dtype=None):
 # — under bf16 this halves the [B, H, S, S] logits/probs HBM traffic, the
 # dominant attention cost (+13% train throughput measured on v5e; CLIP's
 # trained logit range ±~30 is safely inside bf16, and eval paths run the
-# model in fp32 anyway so benchmark numerics are unaffected). Set
-# CFA_ATTENTION_PROBS_FP32=1 to force fp32 scores under bf16 compute
-# (exact HF-forward parity at bf16).
-_FORCE_FP32_PROBS = os.environ.get("CFA_ATTENTION_PROBS_FP32", "0") == "1"
+# model in fp32 anyway so benchmark numerics are unaffected). This is a
+# documented deviation from torch-autocast numerics (which always runs
+# softmax in fp32); set CFA_ATTENTION_PROBS_FP32=1 — read at trace time,
+# so it works even when set after import — to force fp32 scores under
+# bf16 compute (exact HF-forward numerics at bf16).
+def _fp32_probs() -> bool:
+    return os.environ.get("CFA_ATTENTION_PROBS_FP32", "0") == "1"
 
 
 def _xla_attention(q, k, v, bias, scale):
@@ -182,7 +188,7 @@ def _xla_attention(q, k, v, bias, scale):
 
     q,k,v: [B, H, S, Dh]; bias: broadcastable to [B, H, Sq, Sk] or None.
     """
-    acc = jnp.float32 if (_FORCE_FP32_PROBS or q.dtype == jnp.float32) \
+    acc = jnp.float32 if (_fp32_probs() or q.dtype == jnp.float32) \
         else q.dtype
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                         preferred_element_type=acc)

@@ -54,6 +54,7 @@ def _load():
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
+        lib = None
         try:
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
@@ -62,9 +63,23 @@ def _load():
                     _build_error = err
                     return None
             lib = ctypes.CDLL(_SO)
-        except OSError as e:
-            _build_error = str(e)
-            return None
+            # A stale binary (older API) must not be loaded: probe the
+            # newest symbol and rebuild from source if it's missing.
+            if not hasattr(lib, "cfa_assemble_batch_v2"):
+                raise OSError("stale libcfa_host.so (missing v2 API)")
+        except OSError:
+            # Wrong arch / stale / corrupt binary: rebuild from source
+            # before giving up (ADVICE.md: never pin _build_error on a
+            # pre-existing .so).
+            err = _build()
+            if err:
+                _build_error = err
+                return None
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError as e:
+                _build_error = str(e)
+                return None
 
         lib.cfa_decode_image.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
@@ -75,6 +90,10 @@ def _load():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
         lib.cfa_assemble_batch.restype = ctypes.c_int
+        lib.cfa_assemble_batch_v2.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        lib.cfa_assemble_batch_v2.restype = ctypes.c_int
         lib.cfa_alpha_paste.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
@@ -120,21 +139,34 @@ def decode_image(path: str) -> Optional[np.ndarray]:
         lib.cfa_free(out)
 
 
+#: Geometry modes for ``assemble_batch`` (must match cfa_host.cc).
+MODE_STRETCH = 0        # direct resize to SxS (aspect squash)
+MODE_PAD_SQUARE = 1     # white pad to square, then resize
+MODE_CENTER_CROP = 2    # shorter-side resize + center crop (HF geometry)
+
+
 def assemble_batch(paths: Sequence[str], size: int,
                    pad_to_square: bool = False,
-                   threads: Optional[int] = None) -> Optional[np.ndarray]:
+                   threads: Optional[int] = None,
+                   mode: Optional[int] = None) -> Optional[np.ndarray]:
     """Decode+pad+resize N images into one [N, S, S, 3] uint8 batch.
-    Returns None when the native library is unavailable (callers fall back
-    to PIL); failed samples decode to zeros (count logged by caller)."""
+
+    ``mode`` (see MODE_*) picks the geometry; default is MODE_PAD_SQUARE
+    when ``pad_to_square`` else MODE_CENTER_CROP — the two reference
+    loader geometries (count_dataloader.py:12-24 white pad;
+    synthetic_dataloader.py:69-76 HF shorter-side + center crop). Returns
+    None when the native library is unavailable (callers fall back to
+    PIL); failed samples decode to zeros (count logged by caller)."""
     lib = _load()
     if lib is None:
         return None
+    if mode is None:
+        mode = MODE_PAD_SQUARE if pad_to_square else MODE_CENTER_CROP
     n = len(paths)
     out = np.empty((n, size, size, 3), np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     nt = threads if threads is not None else min(8, os.cpu_count() or 1)
-    lib.cfa_assemble_batch(arr, n, size, int(pad_to_square),
-                           _u8ptr(out), nt)
+    lib.cfa_assemble_batch_v2(arr, n, size, mode, _u8ptr(out), nt)
     return out
 
 

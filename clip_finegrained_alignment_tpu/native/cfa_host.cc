@@ -18,6 +18,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -203,14 +204,31 @@ void cfa_alpha_paste(uint8_t* dst, int dh, int dw,
 // Batch assembler (the data-loader hot path)
 // ---------------------------------------------------------------------------
 
-// Decode `n` images, optionally pad to square, box-resize to
-// [size, size, 3], and write into out[n, size, size, 3]. Parallel over a
-// thread pool. Returns the number of failures (failed slots are zeroed).
-int cfa_assemble_batch(const char** paths, int n, int size,
-                       int pad_to_square, uint8_t* out, int num_threads) {
+// Python-compatible round-half-to-even (the PIL-path geometry in
+// data/preprocess.py::resize_center_crop uses python round()).
+static int py_round(double x) {
+  const double f = std::floor(x);
+  const double diff = x - f;
+  if (diff > 0.5) return int(f) + 1;
+  if (diff < 0.5) return int(f);
+  const int fi = int(f);
+  return (fi % 2 == 0) ? fi : fi + 1;
+}
+
+// Geometry modes for the batch assembler.
+//   0: direct box resize to [size, size] (aspect squash; legacy)
+//   1: pad to square (white) first, then box resize — the counterfactual
+//      loader's transform (count_dataloader.py:12-24)
+//   2: resize shorter side to `size`, then center crop — the HF-processor
+//      geometry (synthetic_dataloader.py:69-76); same crop window as
+//      data/preprocess.py::resize_center_crop (filter is box vs PIL
+//      bicubic — pixel inclusion identical, kernel differs)
+int cfa_assemble_batch_v2(const char** paths, int n, int size, int mode,
+                          uint8_t* out, int num_threads) {
   std::atomic<int> next(0), failures(0);
   const size_t stride = size_t(size) * size * 3;
   auto worker = [&]() {
+    std::vector<uint8_t> scratch;
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
       uint8_t* decoded = nullptr;
       int w = 0, h = 0;
@@ -221,19 +239,31 @@ int cfa_assemble_batch(const char** paths, int n, int size,
       }
       uint8_t* src = decoded;
       int sh = h, sw = w;
-      std::vector<uint8_t> padded;
-      if (pad_to_square && h != w) {
+      if (mode == 1 && h != w) {
         const int side = std::max(h, w);
-        padded.resize(size_t(side) * side * 3);
-        cfa_pad_square_u8(decoded, h, w, padded.data(), 255);
-        src = padded.data();
+        scratch.resize(size_t(side) * side * 3);
+        cfa_pad_square_u8(decoded, h, w, scratch.data(), 255);
+        src = scratch.data();
         sh = sw = side;
       }
+      uint8_t* dst = out + size_t(i) * stride;
       if (sh == size && sw == size) {
-        memcpy(out + size_t(i) * stride, src, stride);
+        memcpy(dst, src, stride);
+      } else if (mode == 2 && sh != sw) {
+        // Shorter-side resize + center crop.
+        const double scale = double(size) / std::min(sh, sw);
+        const int nh = std::max(size, py_round(sh * scale));
+        const int nw = std::max(size, py_round(sw * scale));
+        std::vector<uint8_t> resized(size_t(nh) * nw * 3);
+        cfa_resize_box_u8(src, sh, sw, resized.data(), nh, nw);
+        const int top = (nh - size) / 2, left = (nw - size) / 2;
+        for (int y = 0; y < size; ++y) {
+          memcpy(dst + size_t(y) * size * 3,
+                 resized.data() + (size_t(y + top) * nw + left) * 3,
+                 size_t(size) * 3);
+        }
       } else {
-        cfa_resize_box_u8(src, sh, sw, out + size_t(i) * stride,
-                          size, size);
+        cfa_resize_box_u8(src, sh, sw, dst, size, size);
       }
       free(decoded);
     }
@@ -244,6 +274,13 @@ int cfa_assemble_batch(const char** paths, int n, int size,
   for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return failures.load();
+}
+
+// Back-compat wrapper (mode 0/1 only).
+int cfa_assemble_batch(const char** paths, int n, int size,
+                       int pad_to_square, uint8_t* out, int num_threads) {
+  return cfa_assemble_batch_v2(paths, n, size, pad_to_square ? 1 : 0, out,
+                               num_threads);
 }
 
 }  // extern "C"

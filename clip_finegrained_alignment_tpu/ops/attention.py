@@ -206,14 +206,27 @@ def _fused_backward(q, k, v, bias, scale, head_group, do):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_attention_vjp(q: jax.Array, k: jax.Array, v: jax.Array,
+                         bias: Optional[jax.Array], scale: float,
+                         head_group: int = 0) -> jax.Array:
+    return _fused_forward(q, k, v, bias, scale, head_group)
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias: Optional[jax.Array], scale: float,
                     head_group: int = 0) -> jax.Array:
     """Fused attention. q/k/v: [B, H, S, D]; bias broadcastable
     [B|1, 1, S, S] additive (causal+padding for the text tower, None for
-    vision); returns [B, H, S, D]. Differentiable w.r.t. q, k, v (bias
-    gradients are not needed — biases are data-independent masks)."""
-    return _fused_forward(q, k, v, bias, scale, head_group)
+    vision); returns [B, H, S, D].
+
+    Differentiable w.r.t. q, k, v ONLY. The bias is stop-gradiented here
+    — by declared semantics, not silently: the custom VJP computes no
+    bias cotangent (our biases are data-independent masks). Differentiate
+    through the XLA path (`models.clip._xla_attention`) if a trainable
+    bias is ever needed."""
+    if bias is not None:
+        bias = jax.lax.stop_gradient(bias)
+    return _flash_attention_vjp(q, k, v, bias, scale, head_group)
 
 
 def _fa_fwd(q, k, v, bias, scale, head_group):
@@ -227,4 +240,4 @@ def _fa_bwd(scale, head_group, res, do):
     return dq, dk, dv, None
 
 
-flash_attention.defvjp(_fa_fwd, _fa_bwd)
+_flash_attention_vjp.defvjp(_fa_fwd, _fa_bwd)

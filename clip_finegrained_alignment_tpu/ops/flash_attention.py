@@ -273,14 +273,24 @@ def _bwd(q, k, v, bias, scale, block_q, block_k, o, lse, do):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _blockwise_vjp(q: jax.Array, k: jax.Array, v: jax.Array,
+                   bias: Optional[jax.Array], scale: float,
+                   block_q: int = 128, block_k: int = 128) -> jax.Array:
+    o, _ = _fwd(q, k, v, bias, scale, block_q, block_k)
+    return o
+
+
 def blockwise_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                               bias: Optional[jax.Array], scale: float,
                               block_q: int = 128,
                               block_k: int = 128) -> jax.Array:
     """Streaming-softmax attention; memory O(S·block) instead of O(S²).
-    Same contract as ``ops.attention.flash_attention``."""
-    o, _ = _fwd(q, k, v, bias, scale, block_q, block_k)
-    return o
+    Same contract as ``ops.attention.flash_attention`` — including that
+    bias is stop-gradiented (no bias cotangent is computed; biases here
+    are data-independent masks)."""
+    if bias is not None:
+        bias = jax.lax.stop_gradient(bias)
+    return _blockwise_vjp(q, k, v, bias, scale, block_q, block_k)
 
 
 def _bfa_fwd(q, k, v, bias, scale, block_q, block_k):
@@ -294,4 +304,4 @@ def _bfa_bwd(scale, block_q, block_k, res, do):
     return dq, dk, dv, None
 
 
-blockwise_flash_attention.defvjp(_bfa_fwd, _bfa_bwd)
+_blockwise_vjp.defvjp(_bfa_fwd, _bfa_bwd)

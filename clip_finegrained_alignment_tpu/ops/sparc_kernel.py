@@ -142,13 +142,23 @@ def _reference_chain(v_patch, l_token, mask, threshold):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_sparc_pooling_vjp(v_patch: jax.Array, l_token: jax.Array,
+                             mask: jax.Array, threshold: float) -> jax.Array:
+    return _fused_forward(v_patch, l_token, mask, threshold)
+
+
 def fused_sparc_pooling(v_patch: jax.Array, l_token: jax.Array,
                         mask: jax.Array, threshold: float) -> jax.Array:
     """Language-grouped patch pooling, fused. v_patch [B, P, D] projected
     patch embeddings (unnormalized), l_token [B, T, D], mask [B, T] →
     [B, T, D] fp32. Numerically equal to the unfused chain in
-    ``objectives/losses.py`` (validated in ``tests/test_ops.py``)."""
-    return _fused_forward(v_patch, l_token, mask, threshold)
+    ``objectives/losses.py`` (validated in ``tests/test_ops.py``).
+
+    Differentiable w.r.t. v_patch and l_token; the mask is
+    stop-gradiented by declared semantics (the VJP computes no mask
+    cotangent — masks are data-independent)."""
+    return _fused_sparc_pooling_vjp(v_patch, l_token,
+                                    jax.lax.stop_gradient(mask), threshold)
 
 
 def _fsp_fwd(v_patch, l_token, mask, threshold):
@@ -165,4 +175,4 @@ def _fsp_bwd(threshold, res, g):
     return dv, dl, None
 
 
-fused_sparc_pooling.defvjp(_fsp_fwd, _fsp_bwd)
+_fused_sparc_pooling_vjp.defvjp(_fsp_fwd, _fsp_bwd)

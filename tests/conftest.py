@@ -20,6 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+# Tests run hermetically with no real CLIP vocab file; opt into the
+# deterministic HashTokenizer (load_tokenizer fails loudly otherwise —
+# the eval CLIs must never silently hash-tokenize, VERDICT.md weak #4).
+os.environ.setdefault("CFA_ALLOW_HASH_TOKENIZER", "1")
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402

@@ -115,3 +115,50 @@ def test_pipeline_native_vs_pil_square_images(tmp_path, rng):
                                   b_pil["pixel_values"])
     np.testing.assert_array_equal(b_native["input_ids"],
                                   b_pil["input_ids"])
+
+
+def test_assemble_center_crop_geometry(tmp_path):
+    """MODE_CENTER_CROP must use the HF-processor window (shorter-side
+    resize + center crop), not the legacy aspect-squash (ADVICE.md round 1:
+    'auto' silently trained on squashed non-square images)."""
+    if not native.available():
+        pytest.skip(native.build_error())
+    # 400x200 (WxH): red 100px bands left/right, green 200x200 center.
+    img = np.zeros((200, 400, 3), np.uint8)
+    img[:, :, 0] = 255                      # all red
+    img[:, 100:300] = (0, 255, 0)           # green center square
+    p = str(tmp_path / "wide.png")
+    Image.fromarray(img).save(p)
+
+    size = 64
+    crop = native.assemble_batch([p], size, mode=native.MODE_CENTER_CROP)[0]
+    # Center crop keeps only the green square: no red anywhere.
+    assert (crop[:, :, 1] > 200).all() and (crop[:, :, 0] < 50).all()
+
+    stretch = native.assemble_batch([p], size, mode=native.MODE_STRETCH)[0]
+    # The squash keeps the red bands (the old, wrong behavior for
+    # 'standard' mode).
+    assert (stretch[:, :4, 0] > 200).all()
+
+    # And the crop window matches the PIL path exactly (same pixels in;
+    # only the resampling kernel differs) — compare against PIL BOX
+    # resize + identical crop arithmetic.
+    from clip_finegrained_alignment_tpu.data.preprocess import (
+        resize_center_crop)
+    pil_geom = resize_center_crop(img, size)
+    assert pil_geom.shape == crop.shape
+    # Solid-color regions are filter-invariant: byte-equal there.
+    np.testing.assert_array_equal(crop[8:-8, 8:-8], pil_geom[8:-8, 8:-8])
+
+
+def test_assemble_center_crop_tall_image(tmp_path):
+    """Tall (H>W) orientation crops rows, not columns."""
+    if not native.available():
+        pytest.skip(native.build_error())
+    img = np.zeros((400, 200, 3), np.uint8)
+    img[:, :, 2] = 255                      # all blue
+    img[100:300, :] = (255, 255, 0)          # yellow center square
+    p = str(tmp_path / "tall.png")
+    Image.fromarray(img).save(p)
+    crop = native.assemble_batch([p], 64, mode=native.MODE_CENTER_CROP)[0]
+    assert (crop[:, :, 0] > 200).all() and (crop[:, :, 2] < 50).all()

@@ -195,6 +195,18 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
         batch_spec = P(None, pmesh.DATA_AXIS)
 
         def sharded_grads(params, batch):
+            # Mark the replicated params device-VARYING before
+            # differentiating: each device then owns a true replica (the
+            # DDP picture) and AD yields per-device *local* grads, making
+            # the pmean below a genuine allreduce-average
+            # (dist_finetuner.py:57). Differentiating wrt the *invariant*
+            # params instead would let shard_map's AD insert an implicit
+            # psum (transpose of the pvary broadcast), after which pmean
+            # is an identity on the cross-device SUM — training with
+            # grads n_devices x too large. Pinned against a per-shard
+            # oracle in tests/test_train_engine.py and __graft_entry__.py.
+            params = jax.tree.map(
+                lambda p: jax.lax.pvary(p, pmesh.DATA_AXIS), params)
             grads, losses = _accumulated_grads(params, batch, cfg,
                                                model_cfg, dtype,
                                                vary_axis=pmesh.DATA_AXIS)

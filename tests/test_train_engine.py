@@ -123,15 +123,24 @@ def test_mesh_local_negatives_matches_per_shard_math(rng, eight_devices):
     opt_state = opt.init(params)
     batch = make_batch(rng, 16, accum=1)
 
-    # Expected: average the per-shard losses computed independently.
-    per_shard = []
+    # Expected: average the per-shard losses AND grads computed
+    # independently (DDP allreduce = mean; grads-scale regression guard —
+    # shard_map's AD psums grads wrt replicated params, so an extra pmean
+    # would silently leave them n_devices x too large).
+    import optax
+    grad_fn = jax.grad(lambda p, mb: compute_loss(p, mb, cfg, CFG,
+                                                  dtype=jnp.float32)[0],
+                       has_aux=False)
+    per_shard, g_mean = [], None
     for d in range(8):
         shard = {k: v[:, d * 2:(d + 1) * 2] for k, v in batch.items()}
-        loss, _ = compute_loss(params,
-                               {k: v[0] for k, v in shard.items()},
-                               cfg, CFG, dtype=jnp.float32)
+        mb = {k: v[0] for k, v in shard.items()}
+        loss, _ = compute_loss(params, mb, cfg, CFG, dtype=jnp.float32)
         per_shard.append(float(loss))
+        g = jax.tree.map(lambda x: x / 8.0, grad_fn(params, mb))
+        g_mean = g if g_mean is None else jax.tree.map(jnp.add, g_mean, g)
     expected = float(np.mean(per_shard))
+    expected_gnorm = float(optax.global_norm(g_mean))
 
     mesh = pmesh.make_mesh(MeshConfig(data=8, model=1), eight_devices)
     step = make_train_step(cfg, CFG, opt, mesh=mesh)
@@ -141,6 +150,8 @@ def test_mesh_local_negatives_matches_per_shard_math(rng, eight_devices):
     _, _, metrics = step(pb, ob, bb)
     np.testing.assert_allclose(float(metrics["total_loss"]), expected,
                                rtol=1e-5)
+    np.testing.assert_allclose(float(metrics["grad_norm"]), expected_gnorm,
+                               rtol=1e-4)
 
 
 def test_grad_accum_equals_fused_mean(rng):

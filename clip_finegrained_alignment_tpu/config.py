@@ -100,6 +100,15 @@ class CLIPConfig:
         )
 
     @staticmethod
+    def vit_l14_336() -> "CLIPConfig":
+        """ViT-L/14 @ 336px (openai/clip-vit-large-patch14-336): 577
+        vision tokens — the long-sequence regime where the blockwise
+        Pallas attention kernel pays off."""
+        base = CLIPConfig.vit_l14()
+        from dataclasses import replace
+        return replace(base, vision=replace(base.vision, image_size=336))
+
+    @staticmethod
     def tiny_test() -> "CLIPConfig":
         """Miniature config for unit tests — same topology, tiny dims."""
         return CLIPConfig(
@@ -120,6 +129,8 @@ class CLIPConfig:
             "openai/clip-vit-base-patch16": CLIPConfig.vit_b16,
             "ViT-L/14": CLIPConfig.vit_l14,
             "openai/clip-vit-large-patch14": CLIPConfig.vit_l14,
+            "ViT-L/14@336": CLIPConfig.vit_l14_336,
+            "openai/clip-vit-large-patch14-336": CLIPConfig.vit_l14_336,
             "tiny": CLIPConfig.tiny_test,
         }
         if name not in table:

@@ -120,11 +120,21 @@ def _prepare(q, k, v, bias, scale, head_group: int):
     the grid geometry."""
     B, H, S, D = q.shape
     Sp = _round_up(S, 8)
-    # head_group=0 → all heads in one grid cell (best MXU utilization at
-    # CLIP sizes: 12 heads × [Sp, Sp] fp32 logits ≈ 2-3 MB of VMEM).
-    G = head_group if head_group > 0 else H
-    while H % G != 0:
-        G //= 2
+    # head_group=0 → auto: as many heads per grid cell as VMEM allows
+    # (best MXU utilization at CLIP sizes: 12 heads × [Sp, Sp] fp32
+    # logits ≈ 2-3 MB). The bwd kernel holds ~3 [G, Sp, Sp] fp32
+    # intermediates (p, dp, ds), so at long sequences (ViT-L/14@336,
+    # Sp = 584) the group must shrink to stay inside the ~16 MB VMEM.
+    if head_group > 0:
+        G = head_group
+        while H % G != 0:
+            G //= 2
+        G = max(G, 1)
+    else:
+        budget = 9 * 2 ** 20  # bytes for the 3 bwd intermediates
+        fit = [d for d in range(1, H + 1)
+               if H % d == 0 and 3 * d * Sp * Sp * 4 <= budget]
+        G = max(fit) if fit else 1
     pad = Sp - S
 
     qs = (q * scale).astype(q.dtype)

@@ -85,16 +85,43 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sh: NamedSharding):
+    """Place one host array with sharding ``sh``. Under multi-process
+    (multi-host pod / the 2-process CPU test) ``jax.device_put`` of a
+    global array onto non-addressable devices is unavailable, so build the
+    global jax.Array from per-shard callbacks instead — every process must
+    hold the same *global* ``x`` (for per-host local slices use
+    ``shard_batch_from_local``)."""
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx: x[idx])
+    return jax.device_put(x, sh)
+
+
 def shard_batch(batch: Any, mesh: Mesh, *, accum_axis: bool = False) -> Any:
     """Device-put a host batch pytree with the batch dim sharded on ``data``."""
     sh = batch_sharding(mesh, accum_axis=accum_axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: _put(x, sh), batch)
+
+
+def shard_batch_from_local(local_batch: Any, mesh: Mesh,
+                           *, accum_axis: bool = False) -> Any:
+    """Assemble the global sharded batch from THIS process's local slice —
+    the multi-host data path: each host loads only its
+    ``process_shard_bounds`` rows (the per-host replacement for
+    ``DistributedSampler``, ``count_dataloader.py:123-129``) and the global
+    array is stitched across hosts without any cross-host copy."""
+    sh = batch_sharding(mesh, accum_axis=accum_axis)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), local_batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Device-put a pytree fully replicated across the mesh."""
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: _put(x, sh), tree)
 
 
 # ---------------------------------------------------------------------------

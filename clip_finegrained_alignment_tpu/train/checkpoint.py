@@ -33,8 +33,18 @@ except ImportError:  # pragma: no cover
 from ..config import TrainConfig
 
 
-def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+def _abstract_like(tree):
+    """ShapeDtypeStructs for restore. jax.Arrays keep their sharding so
+    orbax restores TP-sharded / multi-host arrays with the same layout
+    (no host materialization — ``np.asarray`` would fail on
+    non-fully-addressable arrays)."""
+    def leaf(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=x.sharding)
+        x = np.asarray(x)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+    return jax.tree.map(leaf, tree)
 
 
 class CheckpointManager:
@@ -66,15 +76,21 @@ class CheckpointManager:
         """Join any in-flight async save (and write its meta sidecars)."""
         self._ckptr.wait_until_finished()
         for path, meta in self._pending_meta:
-            with open(os.path.join(path, "meta.json"), "w") as f:
-                json.dump(meta, f, indent=2)
+            if jax.process_index() == 0:
+                with open(os.path.join(path, "meta.json"), "w") as f:
+                    json.dump(meta, f, indent=2)
         self._pending_meta.clear()
 
     def _save_to(self, path: str, state: Dict[str, Any],
                  meta: Dict[str, Any]) -> None:
         path = os.path.join(self.directory, path)
         self.wait()  # at most one save in flight
-        self._ckptr.save(path, _to_host(state), force=True)
+        # Device arrays are saved natively (orbax handles sharded /
+        # multi-host jax.Arrays; every process participates in the save
+        # collective — the single-writer detail lives inside orbax). This
+        # is what lets TP-sharded checkpoints survive multi-host, unlike
+        # a host-0 np.asarray copy.
+        self._ckptr.save(path, state, force=True)
         self._pending_meta.append((path, meta))
         if not self.async_save:
             self.wait()
@@ -82,11 +98,10 @@ class CheckpointManager:
     def save(self, *, epoch: int, params, opt_state, global_step: int,
              best_loss: float, avg_loss: float, is_best: bool,
              config: Optional[TrainConfig] = None) -> None:
-        if jax.process_index() != 0:
-            # Multi-host: arrays are replicated; host 0 writes (the rank-0
-            # policy of dist_finetuner.py:313 without its divergence bug —
-            # restore re-replicates everywhere).
-            return
+        """All processes must call this (orbax saves are collective) —
+        the reference's rank-0-only ``save_checkpoint`` gate
+        (``dist_finetuner.py:313``) maps to orbax's internal
+        primary-writer election, not to a caller-side early return."""
         state = {"params": params, "opt_state": opt_state}
         meta = {
             "epoch": epoch,
@@ -127,10 +142,7 @@ class CheckpointManager:
         ``finetuner.py:249-254``)."""
         self.wait()
         path = os.path.join(self.directory, which)
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
-            _to_host(like))
-        state = self._ckptr.restore(path, abstract)
+        state = self._ckptr.restore(path, _abstract_like(like))
         meta_path = os.path.join(path, "meta.json")
         meta = {}
         if os.path.exists(meta_path):

@@ -18,11 +18,14 @@ only v_patch, l_token, mask in and the pooled [T, D] out. At CLIP shapes
 (T=77, P≤197, D=512) every intermediate fits VMEM with room to spare, so
 the grid is simply (B,).
 
-Backward: ``jax.custom_vjp`` that recomputes through the pure-XLA chain
-(``objectives.losses.sparc_alignment_weights``) — gradients are therefore
-*definitionally* identical to the unfused path, which the golden tests
-already pin to the reference math. Residuals are just the inputs
-(flash-style recompute, no [T, P] tensors stored).
+Backward: a second fused Pallas kernel that recomputes the forward chain
+in VMEM and emits dv/dl directly (flash-style recompute — residuals are
+just the inputs; no [T, P] tensor ever reaches HBM in either direction).
+The hand-derived VJP mirrors the XLA chain's autodiff semantics exactly:
+min/max cotangents split evenly among ties, the ``clip(·, EPS)`` and
+``max(Σx², eps²)`` guards gate their branches, and thresholded entries
+pass no gradient. Validated against ``jax.vjp`` of the unfused chain in
+``tests/test_ops.py`` (random + edge cases).
 """
 
 from __future__ import annotations
@@ -96,6 +99,106 @@ def _sparc_kernel(v_ref, l_ref, mask_ref, o_ref, *, threshold: float,
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _sparc_bwd_kernel(v_ref, l_ref, mask_ref, g_ref, dv_ref, dl_ref, *,
+                      threshold: float, num_patches: int):
+    """Fused backward for one batch element: recompute the forward chain
+    in VMEM, then run the hand-derived VJP. v [Pp, D], l [Tp, D],
+    mask [Tp, 1], g [Tp, D] (cotangent of the pooled output) →
+    dv [Pp, D], dl [Tp, D].
+
+    Matches jax.vjp of the unfused chain term-for-term:
+      * ``l2_normalize`` = x·rsqrt(max(Σx², eps²)): the max gates the
+        through-norm term (zero rows pass dvn·rsqrt only),
+      * min/max reductions split their cotangent evenly among ties,
+      * ``where(z < τ)`` passes no gradient below threshold,
+      * ``clip(Σt, EPS)`` gates the denominator term.
+    """
+    NEPS = jnp.float32(1e-12 * 1e-12)  # l2_normalize eps²
+    v = v_ref[0].astype(jnp.float32)                      # [Pp, D]
+    l = l_ref[0].astype(jnp.float32)                      # [Tp, D]
+    mask = mask_ref[0]                                    # [Tp, 1] f32
+    g = g_ref[0].astype(jnp.float32)                      # [Tp, D]
+    Tp, Pp = l.shape[0], v.shape[0]
+
+    # ---- forward recompute (identical to _sparc_kernel) ----
+    v_sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    l_sq = jnp.sum(l * l, axis=-1, keepdims=True)
+    rv = jax.lax.rsqrt(jnp.maximum(v_sq, NEPS))
+    rl = jax.lax.rsqrt(jnp.maximum(l_sq, NEPS))
+    v_norm = v * rv
+    l_norm = l * rl
+
+    sim = jax.lax.dot_general(
+        l_norm, v_norm, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [Tp, Pp]
+    col_valid = (jax.lax.broadcasted_iota(jnp.int32, (Tp, Pp), 1)
+                 < num_patches)
+    sm = sim * mask
+    big = jnp.float32(2.0)
+    consider = (mask > 0) & col_valid
+    mn = jnp.min(jnp.where(consider, sm, big), axis=-1, keepdims=True)
+    mx = jnp.max(jnp.where(consider, sm, -big), axis=-1, keepdims=True)
+    s = mx - mn + _EPS
+    z = (sm - mn) / s
+    thr = jnp.where(z < threshold, 0.0, z)
+    t = jnp.where(consider, thr * mask, 0.0)
+    denom_raw = jnp.sum(t, axis=-1, keepdims=True)
+    denom = jnp.maximum(denom_raw, _EPS)
+    w = t / denom                                         # [Tp, Pp]
+
+    # ---- VJP ----
+    # out = w @ v  (unnormalized patches)
+    dw = jax.lax.dot_general(                             # g vᵀ [Tp, Pp]
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dv = jax.lax.dot_general(                             # wᵀ g [Pp, D]
+        w, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # w = t / clip(Σt, EPS): denominator branch gated on raw > EPS.
+    active = (denom_raw > _EPS).astype(jnp.float32)
+    dt = dw / denom - active * jnp.sum(dw * t, axis=-1,
+                                       keepdims=True) / (denom * denom)
+    # t = where(consider, thr·mask, 0); thr = where(z < τ, 0, z).
+    dz = jnp.where((z < threshold) | ~consider, 0.0, dt * mask)
+    # z = (sm - mn)/s with s = mx - mn + EPS:
+    #   ∂z/∂mn = (z - 1)/s, ∂z/∂mx = -z/s.
+    dsm = dz / s
+    a = jnp.sum(dz * (z - 1.0), axis=-1, keepdims=True) / s  # → mn
+    b = jnp.sum(dz * (-z), axis=-1, keepdims=True) / s       # → mx
+    eq_mn = consider & (sm == mn)
+    eq_mx = consider & (sm == mx)
+    n_mn = jnp.maximum(jnp.sum(eq_mn.astype(jnp.float32), axis=-1,
+                               keepdims=True), 1.0)
+    n_mx = jnp.maximum(jnp.sum(eq_mx.astype(jnp.float32), axis=-1,
+                               keepdims=True), 1.0)
+    dsm = dsm + jnp.where(eq_mn, a / n_mn, 0.0) \
+        + jnp.where(eq_mx, b / n_mx, 0.0)
+    # sm = sim · mask (row-broadcast 0/1)
+    dsim = dsm * mask                                     # [Tp, Pp]
+
+    # sim = l_norm @ v_normᵀ
+    dl_norm = jax.lax.dot_general(                        # dsim vn [Tp, D]
+        dsim, v_norm, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dv_norm = jax.lax.dot_general(                        # dsimᵀ ln [Pp, D]
+        dsim, l_norm, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # x_norm = x·rsqrt(max(Σx², eps²)): through-norm term gated on the max.
+    act_v = (v_sq > NEPS).astype(jnp.float32)
+    act_l = (l_sq > NEPS).astype(jnp.float32)
+    dv = dv + dv_norm * rv \
+        - v * jnp.sum(dv_norm * v, axis=-1, keepdims=True) \
+        * (rv * rv * rv) * act_v
+    dl = dl_norm * rl \
+        - l * jnp.sum(dl_norm * l, axis=-1, keepdims=True) \
+        * (rl * rl * rl) * act_l
+
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dl_ref[0] = dl.astype(dl_ref.dtype)
+
+
 def _fused_forward(v_patch, l_token, mask, threshold):
     B, P, D = v_patch.shape
     T = l_token.shape[1]
@@ -132,13 +235,60 @@ def _fused_forward(v_patch, l_token, mask, threshold):
 
 
 def _reference_chain(v_patch, l_token, mask, threshold):
-    """The pure-XLA chain (objectives/losses.py) used for the backward."""
+    """The pure-XLA chain (objectives/losses.py) the kernels are pinned
+    against in tests (fwd values and bwd cotangents)."""
     from ..objectives.losses import l2_normalize, sparc_alignment_weights
     v32 = v_patch.astype(jnp.float32)
     l32 = l_token.astype(jnp.float32)
     sim = jnp.einsum("btd,bpd->btp", l2_normalize(l32), l2_normalize(v32))
     w = sparc_alignment_weights(sim, mask, threshold)
     return jnp.einsum("btp,bpd->btd", w, v32)
+
+
+def _fused_backward(v_patch, l_token, mask, threshold, g):
+    B, P, D = v_patch.shape
+    T = l_token.shape[1]
+    Pp, Tp = _round_up(P, 8), _round_up(T, 8)
+    v = jnp.pad(v_patch.astype(jnp.float32),
+                [(0, 0), (0, Pp - P), (0, 0)])
+    l = jnp.pad(l_token.astype(jnp.float32),
+                [(0, 0), (0, Tp - T), (0, 0)])
+    m = jnp.pad(mask.astype(jnp.float32),
+                [(0, 0), (0, Tp - T)])[..., None]
+    gp = jnp.pad(g.astype(jnp.float32), [(0, 0), (0, Tp - T), (0, 0)])
+
+    dv, dl = pl.pallas_call(
+        functools.partial(_sparc_bwd_kernel, threshold=float(threshold),
+                          num_patches=P),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Pp, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Pp, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Pp, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Tp, D), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * B * Tp * Pp * D,
+            bytes_accessed=4 * B * (2 * Pp * D + 3 * Tp * D),
+            transcendentals=0),
+        interpret=_interpret(),
+    )(v, l, m, gp)
+    return (dv[:, :P].astype(v_patch.dtype),
+            dl[:, :T].astype(l_token.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -168,10 +318,7 @@ def _fsp_fwd(v_patch, l_token, mask, threshold):
 
 def _fsp_bwd(threshold, res, g):
     v_patch, l_token, mask = res
-    _, vjp = jax.vjp(
-        lambda vp, lt: _reference_chain(vp, lt, mask, threshold),
-        v_patch, l_token)
-    dv, dl = vjp(g)
+    dv, dl = _fused_backward(v_patch, l_token, mask, threshold, g)
     return dv, dl, None
 
 

@@ -135,6 +135,44 @@ def test_fused_sparc_grads_match_unfused(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("threshold", [0.0, 0.5, 0.95])
+def test_fused_sparc_vjp_random_cotangent(rng, threshold):
+    """The fused BACKWARD kernel (not just grad-of-sum) must reproduce
+    jax.vjp of the unfused chain for arbitrary cotangents, including an
+    all-pad token row and a zero patch row."""
+    v, l, mask = make_sparc_inputs(rng, B=3, P=11, T=6, D=16)
+    mask = np.array(mask)                  # writable copy
+    mask[1, :] = 0.0                       # fully-masked sample
+    mask = jnp.asarray(mask)
+    v = v.at[2, 4].set(0.0)                # exactly-zero patch row
+    g = jnp.asarray(rng.normal(size=(3, 6, 16)).astype(np.float32))
+
+    _, vjp_fused = jax.vjp(
+        lambda vp, lt: fused_sparc_pooling(vp, lt, mask, threshold), v, l)
+    _, vjp_ref = jax.vjp(
+        lambda vp, lt: _reference_chain(vp, lt, mask, threshold), v, l)
+    for a, b in zip(vjp_fused(g), vjp_ref(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_sparc_vjp_bf16_inputs(rng):
+    """bf16 inputs: cotangents come back in the input dtype, matching the
+    astype-transpose of the unfused chain."""
+    v, l, mask = make_sparc_inputs(rng, B=2, P=9, T=5, D=8)
+    v16, l16 = v.astype(jnp.bfloat16), l.astype(jnp.bfloat16)
+    g = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
+    _, vjp_fused = jax.vjp(
+        lambda vp, lt: fused_sparc_pooling(vp, lt, mask, 0.5), v16, l16)
+    _, vjp_ref = jax.vjp(
+        lambda vp, lt: _reference_chain(vp, lt, mask, 0.5), v16, l16)
+    for a, b in zip(vjp_fused(g), vjp_ref(g)):
+        assert a.dtype == b.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+
 def test_sparc_loss_fused_flag_equivalence(rng):
     v, l, mask = make_sparc_inputs(rng)
     a = L.sparc_loss(v, l, mask, inverse_temperature=0.07, use_fused=False)

@@ -51,10 +51,17 @@ def main():
     use_fused_sparc = os.environ.get("BENCH_FUSED_SPARC", use_pallas
                                      and "1" or "0") == "1"
 
-    remat = os.environ.get("BENCH_REMAT", "dots")
+    # Default compile regime: layers UNROLLED (lax.scan unroll=12) and NO
+    # remat — measured fastest on v5e (924 pairs/s vs 791 for scan+dots
+    # remat; perf/sweep_r2{a,d}.log). Unrolling lets XLA software-pipeline
+    # across layer boundaries; at microbatch 32 the activations fit HBM
+    # without remat, so the backward reuses stored probs instead of
+    # recomputing. Remat stays available for the memory-bound regimes
+    # (BENCH_REMAT=dots, large batch / ViT-L).
+    remat = os.environ.get("BENCH_REMAT", "0")
     remat = {"0": False, "1": True, "dots": "dots"}[remat]
     model_name = os.environ.get("BENCH_MODEL", "ViT-B/16")
-    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+    unroll = int(os.environ.get("BENCH_UNROLL", "12"))
 
     model_cfg = CLIPConfig.from_name(model_name)
     cfg = TrainConfig(

@@ -62,6 +62,7 @@ def main():
     remat = {"0": False, "1": True, "dots": "dots"}[remat]
     model_name = os.environ.get("BENCH_MODEL", "ViT-B/16")
     unroll = int(os.environ.get("BENCH_UNROLL", "12"))
+    unroll_accum = int(os.environ.get("BENCH_ACCUM_UNROLL", "1"))
 
     model_cfg = CLIPConfig.from_name(model_name)
     cfg = TrainConfig(
@@ -69,7 +70,7 @@ def main():
         inverse_temperature=0.07, batch_size=batch_size,
         gradient_accumulation_steps=accum, use_amp=True, remat=remat,
         use_pallas_attention=use_pallas, use_fused_sparc=use_fused_sparc,
-        unroll_layers=unroll)
+        unroll_layers=unroll, unroll_accum=unroll_accum)
 
     params = m.init_clip_params(jax.random.key(0), model_cfg)
     anchor = jax.tree.map(jnp.copy, params)

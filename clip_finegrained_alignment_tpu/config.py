@@ -214,6 +214,9 @@ class TrainConfig:
     unroll_layers: int = 1                # lax.scan unroll factor for the
                                           # encoder layer loop (perf knob;
                                           # identical math)
+    unroll_accum: int = 1                 # lax.scan unroll factor for the
+                                          # gradient-accumulation loop
+                                          # (identical math)
     global_negatives: bool = False        # all-gather embeddings across the
                                           # data axis for the contrastive loss
                                           # (upgrade over reference local-only

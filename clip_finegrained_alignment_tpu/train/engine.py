@@ -162,7 +162,8 @@ def _accumulated_grads(params, batch: Batch, cfg: TrainConfig,
         l0 = jax.tree.map(lambda x: jax.lax.pvary(x, vary_axis), l0)
 
     (grads, losses), _ = jax.lax.scan(
-        body, (g0, l0), batch, length=accum)
+        body, (g0, l0), batch, length=accum,
+        unroll=min(cfg.unroll_accum, accum))
     inv = 1.0 / accum
     grads = jax.tree.map(lambda g: g * inv, grads)
     losses = jax.tree.map(lambda l: l * inv, losses)

@@ -62,7 +62,10 @@ def main():
     remat = {"0": False, "1": True, "dots": "dots"}[remat]
     model_name = os.environ.get("BENCH_MODEL", "ViT-B/16")
     unroll = int(os.environ.get("BENCH_UNROLL", "12"))
-    unroll_accum = int(os.environ.get("BENCH_ACCUM_UNROLL", "1"))
+    # Accum-scan unroll 2 pipelines across microbatch boundaries:
+    # 949 vs 926 pairs/s (unroll 8 regresses to 856 — program too big;
+    # perf/sweep_r2f.log).
+    unroll_accum = int(os.environ.get("BENCH_ACCUM_UNROLL", "2"))
 
     model_cfg = CLIPConfig.from_name(model_name)
     cfg = TrainConfig(

@@ -52,6 +52,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="full fp32 (use_amp=False)")
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas attention + SPARC kernels")
+    p.add_argument("--fused-sparc", action="store_true",
+                   help="fused SPARC fwd+bwd Pallas kernels only (the "
+                        "measured winner; XLA attention stays — "
+                        "BASELINE.md round 2)")
+    p.add_argument("--unroll-layers", type=int, default=1,
+                   help="lax.scan unroll for the encoder layers "
+                        "(12 measured fastest on v5e; identical math)")
+    p.add_argument("--unroll-accum", type=int, default=1,
+                   help="lax.scan unroll for the grad-accumulation loop")
+    p.add_argument("--remat", default="dots",
+                   choices=["0", "1", "dots"],
+                   help="rematerialization policy (0 = store activations "
+                        "— fastest when the batch fits HBM)")
     p.add_argument("--global-negatives", action="store_true",
                    help="contrastive loss over the global batch "
                         "(all-gather over ICI) instead of DDP-parity "
@@ -104,7 +117,9 @@ def main(argv=None) -> None:
         inverse_temperature=args.inverse_temperature,
         optimizer_type=args.optimizer, count_alpha=args.count_alpha,
         seed=args.seed, use_pallas_attention=args.pallas,
-        use_fused_sparc=args.pallas,
+        use_fused_sparc=args.pallas or args.fused_sparc,
+        unroll_layers=args.unroll_layers, unroll_accum=args.unroll_accum,
+        remat={"0": False, "1": True, "dots": "dots"}[args.remat],
         global_negatives=args.global_negatives,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
         mesh=MeshConfig(data=jax.device_count(), model=1))

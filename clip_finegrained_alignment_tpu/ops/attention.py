@@ -49,6 +49,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _vma(*xs):
+    """Union of varying-manual-axes of the inputs. Inside ``shard_map``
+    (the DDP-parity train path) pallas_call outputs must declare which
+    mesh axes they vary over, or tracing fails under ``check_vma``;
+    outside shard_map this is the empty set (a no-op)."""
+    out = frozenset()
+    for x in xs:
+        out |= getattr(jax.typeof(x), "vma", frozenset())
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Kernels (operate on one [G, S, D] head-group per grid cell)
 # ---------------------------------------------------------------------------
@@ -180,7 +191,8 @@ def _fused_forward(q, k, v, bias, scale, head_group):
         grid=grid,
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
         out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype,
+                                       vma=_vma(qs, kp, vp, bp)),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Sp * Sp * D,
             bytes_accessed=4 * B * H * Sp * D * q.dtype.itemsize,
@@ -202,7 +214,8 @@ def _fused_backward(q, k, v, bias, scale, head_group, do):
         grid=grid,
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec],
         out_specs=(qkv_spec, qkv_spec, qkv_spec),
-        out_shape=tuple(jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype)
+        out_shape=tuple(jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype,
+                                             vma=_vma(qs, kp, vp, bp, dop))
                         for _ in range(3)),
         cost_estimate=pl.CostEstimate(
             flops=10 * B * H * Sp * Sp * D,
@@ -236,6 +249,14 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     bias is ever needed."""
     if bias is not None:
         bias = jax.lax.stop_gradient(bias)
+    if _interpret() and _vma(q, k, v):
+        # Pallas's CPU interpreter cannot evaluate kernel bodies under
+        # shard_map's vma tracking (internal block dynamic_slice mixes
+        # varying and invariant values). Off-TPU inside shard_map, fall
+        # back to the XLA path the kernel is numerically pinned against
+        # (tests/test_ops.py). On TPU the compiled kernel runs.
+        from ..models.clip import _xla_attention
+        return _xla_attention(q, k, v, bias, scale)
     return _flash_attention_vjp(q, k, v, bias, scale, head_group)
 
 

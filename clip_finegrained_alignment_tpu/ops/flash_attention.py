@@ -45,6 +45,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _vma(*xs):
+    """Union of varying-manual-axes of the inputs. Inside ``shard_map``
+    (the DDP-parity train path) pallas_call outputs must declare which
+    mesh axes they vary over, or tracing fails under ``check_vma``;
+    outside shard_map this is the empty set (a no-op)."""
+    out = frozenset()
+    for x in xs:
+        out |= getattr(jax.typeof(x), "vma", frozenset())
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -214,8 +225,10 @@ def _fwd(q, k, v, bias, scale, block_q, block_k):
         grid=grid,
         in_specs=[qspec, kvspec, kvspec, bspec],
         out_specs=(qspec, scalar_q),
-        out_shape=(jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
-                   jax.ShapeDtypeStruct((B, H, Sq, 1), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype,
+                                        vma=_vma(qs, kp, vp, bp)),
+                   jax.ShapeDtypeStruct((B, H, Sq, 1), jnp.float32,
+                                        vma=_vma(qs, kp, vp, bp))),
         interpret=_interpret(),
     )(qs, kp, vp, bp)
     return o[:, :, :S], lse
@@ -241,7 +254,9 @@ def _bwd(q, k, v, bias, scale, block_q, block_k, o, lse, do):
         in_specs=[qspec, kvspec, kvspec, bspec, qspec, scalar_q,
                   scalar_q],
         out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, H, Sq, D), q.dtype,
+            vma=_vma(qs, kp, vp, bp, dop, lse_p, delta)),
         interpret=_interpret(),
     )(qs, kp, vp, bp, dop, lse_p, delta)
 
@@ -263,8 +278,12 @@ def _bwd(q, k, v, bias, scale, block_q, block_k, o, lse, do):
         grid=grid_kv,
         in_specs=[qfull, kblk, kblk, bTspec, qfull, sfull, sfull],
         out_specs=(kblk, kblk),
-        out_shape=(jax.ShapeDtypeStruct((B, H, Sk, D), q.dtype),
-                   jax.ShapeDtypeStruct((B, H, Sk, D), q.dtype)),
+        out_shape=(jax.ShapeDtypeStruct(
+                       (B, H, Sk, D), q.dtype,
+                       vma=_vma(qs, kp, vp, bp, dop, lse_p, delta)),
+                   jax.ShapeDtypeStruct(
+                       (B, H, Sk, D), q.dtype,
+                       vma=_vma(qs, kp, vp, bp, dop, lse_p, delta))),
         interpret=_interpret(),
     )(qs, kp, vp, bp, dop, lse_p, delta)
 
@@ -290,6 +309,12 @@ def blockwise_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     are data-independent masks)."""
     if bias is not None:
         bias = jax.lax.stop_gradient(bias)
+    if _interpret() and _vma(q, k, v):
+        # Pallas's CPU interpreter cannot evaluate kernel bodies under
+        # shard_map's vma tracking; off-TPU inside shard_map, fall back
+        # to the pinned XLA path (see ops/attention.py).
+        from ..models.clip import _xla_attention
+        return _xla_attention(q, k, v, bias, scale)
     return _blockwise_vjp(q, k, v, bias, scale, block_q, block_k)
 
 

@@ -199,6 +199,17 @@ def _sparc_bwd_kernel(v_ref, l_ref, mask_ref, g_ref, dv_ref, dl_ref, *,
     dl_ref[0] = dl.astype(dl_ref.dtype)
 
 
+def _vma(*xs):
+    """Union of varying-manual-axes of the inputs. Inside ``shard_map``
+    (the DDP-parity train path) pallas_call outputs must declare which
+    mesh axes they vary over, or tracing fails under ``check_vma``;
+    outside shard_map this is the empty set (a no-op)."""
+    out = frozenset()
+    for x in xs:
+        out |= getattr(jax.typeof(x), "vma", frozenset())
+    return out
+
+
 def _fused_forward(v_patch, l_token, mask, threshold):
     B, P, D = v_patch.shape
     T = l_token.shape[1]
@@ -224,7 +235,8 @@ def _fused_forward(v_patch, l_token, mask, threshold):
         ],
         out_specs=pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Tp, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), jnp.float32,
+                                       vma=_vma(v, l, m)),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Tp * Pp * D,
             bytes_accessed=4 * B * (Pp * D + 2 * Tp * D),
@@ -278,8 +290,10 @@ def _fused_backward(v_patch, l_token, mask, threshold, g):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, Pp, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, Tp, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Pp, D), jnp.float32,
+                                 vma=_vma(v, l, m, gp)),
+            jax.ShapeDtypeStruct((B, Tp, D), jnp.float32,
+                                 vma=_vma(v, l, m, gp)),
         ),
         cost_estimate=pl.CostEstimate(
             flops=12 * B * Tp * Pp * D,
@@ -307,6 +321,14 @@ def fused_sparc_pooling(v_patch: jax.Array, l_token: jax.Array,
     Differentiable w.r.t. v_patch and l_token; the mask is
     stop-gradiented by declared semantics (the VJP computes no mask
     cotangent — masks are data-independent)."""
+    if _interpret() and _vma(v_patch, l_token, mask):
+        # Pallas's CPU interpreter cannot evaluate kernel bodies under
+        # shard_map's vma tracking; off-TPU inside shard_map (the
+        # DDP-parity train path on the CPU test mesh), fall back to the
+        # unfused XLA chain the kernels are numerically pinned against
+        # (tests/test_ops.py). On TPU the compiled kernels run.
+        return _reference_chain(v_patch, l_token,
+                                jax.lax.stop_gradient(mask), threshold)
     return _fused_sparc_pooling_vjp(v_patch, l_token,
                                     jax.lax.stop_gradient(mask), threshold)
 

@@ -38,8 +38,11 @@ def test_train_and_resume(workdir, capsys):
     assert meta["global_step"] == 2  # 16 samples / batch 8
 
     # Resume: epoch counter recomputed from global_step
-    # (finetuner.py:339-342 behavior), continues to epoch 2.
-    main(train_args(workdir, 2, ["--resume"]))
+    # (finetuner.py:339-342 behavior), continues to epoch 2. Also
+    # exercises the perf knobs (identical math by construction).
+    main(train_args(workdir, 2, ["--resume", "--fused-sparc",
+                                 "--unroll-layers", "2",
+                                 "--unroll-accum", "2", "--remat", "0"]))
     out = capsys.readouterr().out
     assert "resumed from" in out
     # best/ only refreshes on a new best loss; the periodic epoch_1

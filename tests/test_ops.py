@@ -227,3 +227,69 @@ def test_blockwise_grads_match_xla(rng):
     for a, b in zip(go, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Kernels inside shard_map (the DDP-parity train path)
+# ---------------------------------------------------------------------------
+
+def test_fused_sparc_inside_shard_map(rng):
+    """Fused SPARC must work inside jax.shard_map (the DDP-parity train
+    path) — regression for the --fused-sparc + parity-mode train CLI
+    (caught by an end-to-end drive; test_cli only covered
+    loss_type=clip). On TPU the compiled kernels declare their varying
+    mesh axes via out_shape vma; off-TPU the wrapper falls back to the
+    pinned XLA chain (Pallas's interpreter cannot evaluate kernel bodies
+    under vma tracking), so this test covers dispatch + math."""
+    from jax.sharding import PartitionSpec as P
+    from clip_finegrained_alignment_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh()
+    n = jax.device_count()
+    v, l, mask = make_sparc_inputs(rng, B=2 * n, P=10, T=7, D=12)
+
+    def body(v_sh, l_sh, m_sh):
+        return jax.grad(lambda vp, lt: (fused_sparc_pooling(
+            vp, lt, m_sh, 0.5) ** 2).sum(), argnums=(0, 1))(v_sh, l_sh)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(pmesh.DATA_AXIS), P(pmesh.DATA_AXIS),
+                  P(pmesh.DATA_AXIS)),
+        out_specs=(P(pmesh.DATA_AXIS), P(pmesh.DATA_AXIS)))
+    gv, gl = jax.jit(sharded)(v, l, mask)
+
+    # The op is per-batch-element independent and the loss is a sum over
+    # the batch, so the concatenated per-shard grads equal the full-batch
+    # grad of the unfused XLA chain.
+    rv, rl = jax.grad(lambda vp, lt: (_reference_chain(
+        vp, lt, mask, 0.5) ** 2).sum(), argnums=(0, 1))(v, l)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(rl),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_attention_inside_shard_map(rng):
+    """Same shard_map regression for the fused attention kernel."""
+    from jax.sharding import PartitionSpec as P
+    from clip_finegrained_alignment_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh()
+    n = jax.device_count()
+    B, H, S, D = n, 2, 13, 8
+    q, k, v = make_qkv(rng, B, H, S, D)
+    scale = D ** -0.5
+
+    def body(q_sh, k_sh, v_sh):
+        out = flash_attention(q_sh, k_sh, v_sh, None, scale)
+        return jax.lax.pmean((out ** 2).sum(), pmesh.DATA_AXIS)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(pmesh.DATA_AXIS), P(pmesh.DATA_AXIS),
+                  P(pmesh.DATA_AXIS)),
+        out_specs=P())
+    got = float(jax.jit(sharded)(q, k, v))
+    ref = float((_xla_attention(q, k, v, None, scale) ** 2).sum() / n)
+    np.testing.assert_allclose(got, ref, rtol=1e-4)

@@ -34,16 +34,16 @@ class AdamSPDState(NamedTuple):
     anchor: Any               # pretrained anchor weights ('pre')
 
 
-def _ratio(new_p, p, pre):
+def _ratio(new_p, p, pre, axes):
     """hardtanh((‖new_p-pre‖ - ‖p-pre‖)/‖new_p-pre‖, 0, 1)
-    (``optimizers.py:154-157``).
+    (``optimizers.py:154-157``), with the norm taken over ``axes``.
 
     Guarded at ``new_p == pre``: the reference divides by zero there
     (NaN/-inf through hardtanh poisons the tensor). When curr == 0 the
     projection term ``ratio * (new_p - pre)`` is zero for any finite ratio,
     so ratio := 0 is exact, not an approximation."""
-    curr = jnp.linalg.norm((new_p - pre).ravel())
-    prev = jnp.linalg.norm((p - pre).ravel())
+    curr = jnp.sqrt(jnp.sum((new_p - pre) ** 2, axis=axes, keepdims=True))
+    prev = jnp.sqrt(jnp.sum((p - pre) ** 2, axis=axes, keepdims=True))
     safe = jnp.where(curr == 0.0, 1.0, curr)
     r = jnp.where(curr == 0.0, 0.0, (curr - prev) / safe)
     return jnp.clip(r, 0.0, 1.0)
@@ -57,12 +57,23 @@ def adamspd(
     weight_decay: float = 0.0,
     amsgrad: bool = False,
     anchor_params: Optional[Any] = None,
+    stacked_mask: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """Build the AdamSPD transformation.
 
     ``anchor_params``: the pretrained weights to decay toward. If None, the
     params seen at ``init`` become the anchor (matching the reference, which
     deep-copies the just-loaded pretrained params, ``finetuner.py:86``).
+
+    ``stacked_mask``: pytree of bools matching ``params``; True marks leaves
+    whose leading axis stacks per-layer tensors (the ``lax.scan`` layout,
+    ``models/clip.py``). The reference's SPD condition and projection ratio
+    are **per torch parameter tensor** — i.e. per layer
+    (``optimizers.py:146-157``). For stacked leaves the condition/ratio
+    therefore reduce over all axes *except* the leading layer axis,
+    yielding one independent projection decision per layer, exactly as the
+    reference's per-parameter loop does. None = no stacked leaves (flat
+    trees, e.g. the golden tests).
     """
 
     def init_fn(params):
@@ -97,19 +108,26 @@ def adamspd(
             nu_max = state.nu_max
             denom_src = nu
 
-        def leaf_update(p, g, m, v, pre):
+        def leaf_update(p, g, m, v, pre, stacked):
             denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
             step_size = lr / bc1
             new_p = p - step_size * m / denom
             # SPD: project toward the anchor when the gradient points away
-            # from it (``optimizers.py:146-150``).
-            condition = -jnp.sum(g * (p - pre))
-            ratio = _ratio(new_p, p, pre)
+            # from it (``optimizers.py:146-150``). Per torch-parameter
+            # tensor = per layer for scan-stacked leaves, so reduce over
+            # every axis but the leading layer axis there.
+            # axis=None = full reduction; axis=() (a stacked 1-D leaf)
+            # correctly reduces nothing — each layer's tensor is scalar.
+            axes = tuple(range(1, p.ndim)) if stacked else None
+            condition = -jnp.sum(g * (p - pre), axis=axes, keepdims=True)
+            ratio = _ratio(new_p, p, pre, axes)
             projected = new_p - weight_decay * ratio * (new_p - pre)
             return jnp.where(condition < 0.0, projected, new_p)
 
+        mask = stacked_mask if stacked_mask is not None else \
+            jax.tree.map(lambda _: False, params)
         new_params = jax.tree.map(leaf_update, params, grads, mu, denom_src,
-                                  state.anchor)
+                                  state.anchor, mask)
         updates = jax.tree.map(lambda np_, p: np_ - p, new_params, params)
         return updates, AdamSPDState(count=count, mu=mu, nu=nu,
                                      nu_max=nu_max, anchor=state.anchor)

@@ -33,6 +33,17 @@ def decay_mask(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(mask_leaf, params)
 
 
+def stacked_layer_mask(params: Any) -> Any:
+    """True for leaves living under a ``layers`` key — the scan-stacked
+    per-layer tensors (``models/clip.py::_stack_layers``) whose leading
+    axis is the layer index. AdamSPD reduces its SPD condition/ratio per
+    layer on these, reproducing the reference's per-torch-parameter
+    semantics (``optimizers.py:146-157``)."""
+    def mask_leaf(path, _):
+        return any(getattr(p, "key", None) == "layers" for p in path)
+    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
 def make_schedule(cfg: TrainConfig, use_warmup: bool = False):
     """Constant LR by default (the reference defines ``warmup_steps`` but
     never builds a scheduler — config.py:10 is dead; parity = constant)."""
@@ -59,7 +70,8 @@ def make_optimizer(cfg: TrainConfig, params: Any,
         # (``finetuner.py:81-101``).
         opt = adamspd(lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
                       weight_decay=cfg.weight_decay, amsgrad=cfg.amsgrad,
-                      anchor_params=anchor_params)
+                      anchor_params=anchor_params,
+                      stacked_mask=stacked_layer_mask(params))
     else:
         opt = optax.adamw(lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
                           weight_decay=cfg.weight_decay,

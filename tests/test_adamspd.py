@@ -119,3 +119,49 @@ def test_make_optimizer_builds_and_steps():
         assert np.isfinite(np.asarray(new_params["w"])).all()
         # global-norm clipping must have shrunk the huge gradient step
         assert np.abs(np.asarray(upd["w"])).max() <= cfg.lr * 1.5
+
+
+def test_stacked_leaves_project_per_layer():
+    """Scan-stacked [L, ...] leaves must get one independent SPD
+    condition/ratio per layer (the reference's per-torch-parameter loop,
+    optimizers.py:113-157) — NOT one joint decision over the stacked
+    tensor. Oracle: run the flat (per-layer) optax path on each layer
+    slice and compare trajectories."""
+    import jax
+    import jax.numpy as jnp
+
+    g = np.random.default_rng(11)
+    lr, b1, b2, eps, wd = 1e-2, 0.9, 0.999, 1e-8, 0.3
+    L = 3
+    stacked = {"layers": {"w": jnp.asarray(
+        g.standard_normal((L, 5, 4)).astype(np.float32))}}
+
+    from clip_finegrained_alignment_tpu.optim.factory import \
+        stacked_layer_mask
+    mask = stacked_layer_mask(stacked)
+    assert mask == {"layers": {"w": True}}
+
+    opt_s = adamspd(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd,
+                    stacked_mask=mask)
+    state_s = opt_s.init(stacked)
+    ps = stacked
+
+    # Per-layer oracles: L independent flat optimizers.
+    opt_f = adamspd(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+    pf = [{"w": stacked["layers"]["w"][i]} for i in range(L)]
+    state_f = [opt_f.init(p) for p in pf]
+
+    for step in range(4):
+        gs = g.standard_normal((L, 5, 4)).astype(np.float32) * 0.5
+        up_s, state_s = opt_s.update({"layers": {"w": jnp.asarray(gs)}},
+                                     state_s, ps)
+        ps = jax.tree.map(jnp.add, ps, up_s)
+        for i in range(L):
+            up_i, state_f[i] = opt_f.update({"w": jnp.asarray(gs[i])},
+                                            state_f[i], pf[i])
+            pf[i] = jax.tree.map(jnp.add, pf[i], up_i)
+        for i in range(L):
+            np.testing.assert_allclose(
+                np.asarray(ps["layers"]["w"][i]), np.asarray(pf[i]["w"]),
+                rtol=1e-6, atol=1e-7,
+                err_msg=f"layer {i} diverged at step {step}")

@@ -260,17 +260,18 @@ def test_adamspd_ratio_guard_at_anchor():
     new_p = np.array([0.5, 0.5, 0.5], np.float32)
 
     # curr == 0, prev > 0: both give exactly 0.
-    ours = _ratio(jnp.asarray(new_p), jnp.asarray(p), pre=jnp.asarray(new_p))
+    ours = _ratio(jnp.asarray(new_p), jnp.asarray(p),
+                  pre=jnp.asarray(new_p), axes=None)
     ref_r = ref_optim.AdamSPD._ratio(None, _t(new_p), _t(p), _t(new_p))
-    assert float(ours) == 0.0
+    assert np.all(np.asarray(ours) == 0.0)   # keepdims scalar
     assert float(ref_r) == 0.0
 
     # curr == prev == 0: reference NaNs, ours stays 0.
     ref_nan = ref_optim.AdamSPD._ratio(None, _t(new_p), _t(new_p), _t(new_p))
     assert torch.isnan(ref_nan)
     ours0 = _ratio(jnp.asarray(new_p), jnp.asarray(new_p),
-                   pre=jnp.asarray(new_p))
-    assert float(ours0) == 0.0
+                   pre=jnp.asarray(new_p), axes=None)
+    assert np.all(np.asarray(ours0) == 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,7 @@ def main():
     # 949 vs 926 pairs/s (unroll 8 regresses to 856 — program too big;
     # perf/sweep_r2f.log).
     unroll_accum = int(os.environ.get("BENCH_ACCUM_UNROLL", "2"))
+    unstack = os.environ.get("BENCH_UNSTACK", "0") == "1"
 
     model_cfg = CLIPConfig.from_name(model_name)
     cfg = TrainConfig(
@@ -73,9 +74,12 @@ def main():
         inverse_temperature=0.07, batch_size=batch_size,
         gradient_accumulation_steps=accum, use_amp=True, remat=remat,
         use_pallas_attention=use_pallas, use_fused_sparc=use_fused_sparc,
-        unroll_layers=unroll, unroll_accum=unroll_accum)
+        unroll_layers=unroll, unroll_accum=unroll_accum,
+        unstack_layers=unstack)
 
     params = m.init_clip_params(jax.random.key(0), model_cfg)
+    if unstack:
+        params = m.unstack_layers(params)
     anchor = jax.tree.map(jnp.copy, params)
     opt = make_optimizer(cfg, params, anchor_params=anchor)
     opt_state = opt.init(params)

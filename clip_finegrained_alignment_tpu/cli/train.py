@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(12 measured fastest on v5e; identical math)")
     p.add_argument("--unroll-accum", type=int, default=1,
                    help="lax.scan unroll for the grad-accumulation loop")
+    p.add_argument("--unstack-layers", action="store_true",
+                   help="per-layer param leaves instead of the scan-stacked "
+                        "layout (perf knob, identical math; checkpoints "
+                        "stay stacked)")
     p.add_argument("--remat", default="dots",
                    choices=["0", "1", "dots"],
                    help="rematerialization policy (0 = store activations "
@@ -119,6 +123,7 @@ def main(argv=None) -> None:
         seed=args.seed, use_pallas_attention=args.pallas,
         use_fused_sparc=args.pallas or args.fused_sparc,
         unroll_layers=args.unroll_layers, unroll_accum=args.unroll_accum,
+        unstack_layers=args.unstack_layers,
         remat={"0": False, "1": True, "dots": "dots"}[args.remat],
         global_negatives=args.global_negatives,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
@@ -174,10 +179,12 @@ def main(argv=None) -> None:
 
     start_epoch = 0
     if args.resume and os.path.isdir(os.path.join(ckpt_dir, "best")):
-        like = {"params": trainer.params, "opt_state": trainer.opt_state}
+        # Checkpoints always store the stacked-layers layout (engine.py
+        # to_checkpoint_format), so `like` must too.
+        ck_params, ck_opt = trainer.to_checkpoint_format()
+        like = {"params": ck_params, "opt_state": ck_opt}
         state, meta = manager.restore("best", like=like, config=cfg)
-        trainer.params = state["params"]
-        trainer.opt_state = state["opt_state"]
+        trainer.from_checkpoint_format(state["params"], state["opt_state"])
         trainer.global_step = meta.get("global_step", 0)
         trainer.best_loss = meta.get("best_loss", float("inf"))
         # start epoch from global_step, as finetuner.py:339-342

@@ -217,6 +217,12 @@ class TrainConfig:
     unroll_accum: int = 1                 # lax.scan unroll factor for the
                                           # gradient-accumulation loop
                                           # (identical math)
+    unstack_layers: bool = False          # per-layer param leaves instead of
+                                          # the scan-stacked [L, ...] layout:
+                                          # each layer's grads get their own
+                                          # buffers (no stacked-buffer
+                                          # update-slices). Identical math;
+                                          # checkpoints stay stacked.
     global_negatives: bool = False        # all-gather embeddings across the
                                           # data axis for the contrastive loss
                                           # (upgrade over reference local-only

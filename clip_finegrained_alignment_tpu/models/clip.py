@@ -79,6 +79,42 @@ def _stack_layers(layers):
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
 
 
+def unstack_layers(params: "Params") -> "Params":
+    """Convert both towers' scan-stacked ``layers`` trees ([L, ...] leaves)
+    into tuples of L per-layer trees.
+
+    Perf-layout alternative (``TrainConfig.unstack_layers``): with per-layer
+    leaves as separate jit arguments, the backward writes each layer's
+    weight grads into its own buffer instead of dynamic-update-slicing into
+    the stacked [L, ...] buffer (the 69 ms/step fusion class in
+    ``perf/TRACE_ANALYSIS.md``), and the forward reads plain parameters
+    instead of slices. Identical math (``tests/test_model_parity.py``);
+    checkpoints stay in the stacked format (``stack_layers`` at the save
+    boundary)."""
+    out = dict(params)
+    for tower in ("vision", "text"):
+        t = dict(params[tower])
+        layers = t["layers"]
+        if isinstance(layers, (list, tuple)):   # already unstacked
+            continue
+        num = jax.tree.leaves(layers)[0].shape[0]
+        t["layers"] = tuple(
+            jax.tree.map(lambda x, i=i: x[i], layers) for i in range(num))
+        out[tower] = t
+    return out
+
+
+def stack_layers(params: "Params") -> "Params":
+    """Inverse of :func:`unstack_layers` (the checkpoint-format layout)."""
+    out = dict(params)
+    for tower in ("vision", "text"):
+        t = dict(params[tower])
+        if isinstance(t["layers"], (list, tuple)):
+            t["layers"] = _stack_layers(list(t["layers"]))
+            out[tower] = t
+    return out
+
+
 def init_clip_params(key: jax.Array, cfg: CLIPConfig,
                      dtype=jnp.float32) -> Params:
     """Random-init a full CLIP parameter pytree."""
@@ -255,6 +291,14 @@ def encoder(params_stacked, x, bias, num_heads, eps, *, dtype,
         policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable \
             if remat == "dots" else None
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
+    if isinstance(params_stacked, (list, tuple)):
+        # Unstacked per-layer trees (``unstack_layers``): straight-line
+        # loop — each layer's params are separate jit arguments, so grads
+        # get their own output buffers (no stacked-buffer update-slices)
+        # and ``unroll`` is moot.
+        for layer_p in params_stacked:
+            x, _ = body(x, layer_p)
+        return x
     out, _ = jax.lax.scan(body, x, params_stacked, unroll=unroll)
     return out
 

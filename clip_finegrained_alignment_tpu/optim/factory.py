@@ -34,13 +34,21 @@ def decay_mask(params: Any) -> Any:
 
 
 def stacked_layer_mask(params: Any) -> Any:
-    """True for leaves living under a ``layers`` key — the scan-stacked
-    per-layer tensors (``models/clip.py::_stack_layers``) whose leading
-    axis is the layer index. AdamSPD reduces its SPD condition/ratio per
-    layer on these, reproducing the reference's per-torch-parameter
-    semantics (``optimizers.py:146-157``)."""
+    """True for leaves living under a *stacked* ``layers`` key — the
+    scan-stacked per-layer tensors (``models/clip.py::_stack_layers``)
+    whose leading axis is the layer index. AdamSPD reduces its SPD
+    condition/ratio per layer on these, reproducing the reference's
+    per-torch-parameter semantics (``optimizers.py:146-157``).
+
+    In the unstacked layout (``unstack_layers``) a SequenceKey follows the
+    ``layers`` entry — each leaf already IS one layer's tensor, so the
+    mask is False (full per-leaf reduction is the reference semantics)."""
     def mask_leaf(path, _):
-        return any(getattr(p, "key", None) == "layers" for p in path)
+        for i, p in enumerate(path):
+            if getattr(p, "key", None) == "layers":
+                nxt = path[i + 1] if i + 1 < len(path) else None
+                return not isinstance(nxt, jax.tree_util.SequenceKey)
+        return False
     return jax.tree_util.tree_map_with_path(mask_leaf, params)
 
 

@@ -247,6 +247,17 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
     return jax.jit(train_step, donate_argnums=(0, 1))
 
 
+def _map_param_trees(fn, tree):
+    """Apply ``fn`` to every params-shaped subtree inside an optax state
+    (mu/nu/nu_max/anchor in AdamSPDState are all params-like). Used to keep
+    checkpoints in the canonical stacked-layers format regardless of the
+    runtime layout (``TrainConfig.unstack_layers``)."""
+    def is_param_tree(x):
+        return isinstance(x, dict) and "vision" in x and "text" in x
+    return jax.tree.map(lambda x: fn(x) if is_param_tree(x) else x,
+                        tree, is_leaf=is_param_tree)
+
+
 # ---------------------------------------------------------------------------
 # Trainer
 # ---------------------------------------------------------------------------
@@ -278,6 +289,13 @@ class Trainer:
             self.params = shard_params(params, self.mesh)
         else:
             self.params = pmesh.replicate(params, self.mesh)
+        if cfg.unstack_layers:
+            if cfg.mesh.model > 1:
+                raise ValueError("unstack_layers is not supported with "
+                                 "tensor parallelism (mesh.model > 1)")
+            # Perf layout (models/clip.py::unstack_layers): per-layer jit
+            # arguments; anchors/optimizer state built below inherit it.
+            self.params = m.unstack_layers(self.params)
         # AdamSPD anchors = the pretrained weights at construction time
         # (the deepcopy at finetuner.py:86).
         anchor = jax.tree.map(jnp.copy, self.params) \
@@ -306,6 +324,24 @@ class Trainer:
         if self.mesh is not None:
             batch = pmesh.shard_batch(batch, self.mesh, accum_axis=True)
         return batch
+
+    # ------------------------------------------------------------------
+    # Checkpoint-format conversion: checkpoints always store the stacked
+    # layout so they are interchangeable across the unstack_layers knob
+    # (and readable by the eval CLIs, which build stacked `like` trees).
+    def to_checkpoint_format(self):
+        """(params, opt_state) in the canonical stacked-layers layout."""
+        if not self.cfg.unstack_layers:
+            return self.params, self.opt_state
+        return (m.stack_layers(self.params),
+                _map_param_trees(m.stack_layers, self.opt_state))
+
+    def from_checkpoint_format(self, params, opt_state) -> None:
+        """Install restored (stacked-layout) state as the runtime layout."""
+        if self.cfg.unstack_layers:
+            params = m.unstack_layers(params)
+            opt_state = _map_param_trees(m.unstack_layers, opt_state)
+        self.params, self.opt_state = params, opt_state
 
     def step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
         """One optimizer step on one [accum*B] host batch."""
@@ -352,9 +388,10 @@ class Trainer:
             if is_best:
                 self.best_loss = avg
             if self.checkpoint_manager is not None:
+                ck_params, ck_opt = self.to_checkpoint_format()
                 self.checkpoint_manager.save(
-                    epoch=epoch, params=self.params,
-                    opt_state=self.opt_state, global_step=self.global_step,
+                    epoch=epoch, params=ck_params,
+                    opt_state=ck_opt, global_step=self.global_step,
                     best_loss=self.best_loss, avg_loss=avg, is_best=is_best,
                     config=self.cfg)
         return {"history": history, "best_loss": self.best_loss,

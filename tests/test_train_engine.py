@@ -268,3 +268,45 @@ def test_async_checkpoint_roundtrip(rng, tmp_path):
     for a, b in zip(jax.tree.leaves(state["params"]),
                     jax.tree.leaves(trainer.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unstacked_layers_equals_stacked(rng):
+    """The unstack_layers perf layout (per-layer param leaves, straight-
+    line encoder loop, per-leaf AdamSPD) must reproduce the stacked
+    lax.scan layout's training step exactly, and its checkpoints must
+    convert to/from the canonical stacked format losslessly."""
+    from clip_finegrained_alignment_tpu.optim.factory import \
+        stacked_layer_mask
+
+    cfg_s = tiny_train_config(loss_type="sparc", inverse_temperature=0.07,
+                              optimizer_type="adamspd")
+    cfg_u = tiny_train_config(loss_type="sparc", inverse_temperature=0.07,
+                              optimizer_type="adamspd", unstack_layers=True)
+    t_s = Trainer(cfg_s, mesh=None)
+    t_u = Trainer(cfg_u, mesh=None)
+
+    # Unstacked trees carry no stacked leaves for AdamSPD.
+    mask = stacked_layer_mask(t_u.params)
+    assert not any(jax.tree.leaves(mask))
+    assert any(jax.tree.leaves(stacked_layer_mask(t_s.params)))
+
+    batch = make_batch(rng, cfg_s.effective_batch_size, "sparc")
+    for step in range(3):
+        m_s = t_s.step(batch)
+        m_u = t_u.step(batch)
+        np.testing.assert_allclose(float(m_s["total_loss"]),
+                                   float(m_u["total_loss"]),
+                                   rtol=1e-5, err_msg=f"step {step}")
+
+    ck_u, ck_opt_u = t_u.to_checkpoint_format()
+    for a, b in zip(jax.tree.leaves(ck_u), jax.tree.leaves(t_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert jax.tree.structure(ck_u) == jax.tree.structure(t_s.params)
+    assert jax.tree.structure(ck_opt_u) == jax.tree.structure(t_s.opt_state)
+
+    # Roundtrip back to the runtime layout.
+    before = jax.tree.leaves(t_u.params)
+    t_u.from_checkpoint_format(ck_u, ck_opt_u)
+    for a, b in zip(before, jax.tree.leaves(t_u.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

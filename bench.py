@@ -62,11 +62,16 @@ def main():
     remat = {"0": False, "1": True, "dots": "dots"}[remat]
     model_name = os.environ.get("BENCH_MODEL", "ViT-B/16")
     unroll = int(os.environ.get("BENCH_UNROLL", "12"))
-    # Accum-scan unroll 2 pipelines across microbatch boundaries:
-    # 949 vs 926 pairs/s (unroll 8 regresses to 856 — program too big;
-    # perf/sweep_r2f.log).
-    unroll_accum = int(os.environ.get("BENCH_ACCUM_UNROLL", "2"))
-    unstack = os.environ.get("BENCH_UNSTACK", "0") == "1"
+    # With the unstacked layout, accum-scan unroll 1 is fastest (1000 vs
+    # 992 at unroll 2, 973 at 4; perf/sweep_r2h.log). In the stacked
+    # layout unroll 2 was the winner (949 vs 926, sweep_r2f) — the
+    # straight-line layers already give XLA the pipelining that
+    # accum-unroll used to buy.
+    unroll_accum = int(os.environ.get("BENCH_ACCUM_UNROLL", "1"))
+    # Per-layer param leaves: each layer's weight grads get their own
+    # buffers instead of update-slicing into the stacked [12, ...] buffer
+    # — 1000.4 vs 951 pairs/s (perf/sweep_r2h.log, TRACE_ANALYSIS.md).
+    unstack = os.environ.get("BENCH_UNSTACK", "1") == "1"
 
     model_cfg = CLIPConfig.from_name(model_name)
     cfg = TrainConfig(

@@ -23,10 +23,10 @@ EXTRA=${EXTRA:-}
 RESUME_FLAG=""
 [ "${RESUME:-0}" = "1" ] && RESUME_FLAG="--resume"
 
-# Measured-fastest v5e regime (BASELINE.md round 2): fused SPARC fwd+bwd
-# Pallas kernels + XLA attention, layers unrolled, activations stored
-# (remat 0). Override via EXTRA for memory-bound configs (ViT-L: EXTRA=
-# "--remat dots").
+# Measured-fastest v5e regime (BASELINE.md round 2): unstacked per-layer
+# params, XLA attention + SPARC, activations stored (remat 0) —
+# 1000 pairs/s/chip on ViT-B/16. Override via EXTRA for memory-bound
+# configs (ViT-L: EXTRA="--remat dots").
 exec python -m clip_finegrained_alignment_tpu.cli.train \
   --annotations "$ANNOTATIONS" \
   --model "$MODEL" \
@@ -36,5 +36,5 @@ exec python -m clip_finegrained_alignment_tpu.cli.train \
   --batch-size "$BATCH" \
   --grad-accum "$ACCUM" \
   --experiment-name "$EXPERIMENT" \
-  --fused-sparc --unroll-layers 12 --remat 0 --global-negatives \
+  --unstack-layers --remat 0 --global-negatives \
   $RESUME_FLAG $EXTRA

@@ -22,6 +22,14 @@ import numpy as np
 # Script lives in tests/; the package root is one level up.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Program-order CPU collectives — see tests/conftest.py (deadlock
+# otherwise possible with concurrent independent collectives).
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_cpu_enable_concurrency_optimized_scheduler" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_cpu_enable_concurrency_optimized_scheduler=false"
+    ).strip()
+
 
 def main():
     pid = int(sys.argv[1])

@@ -29,12 +29,15 @@ def main():
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     accum = 8
     model_cfg = CLIPConfig.vit_b16()
+    unstack = os.environ.get("BENCH_UNSTACK", "1") == "1"
     cfg = TrainConfig(
         clip_model="ViT-B/16", loss_type="sparc", optimizer_type="adamspd",
         inverse_temperature=0.07, batch_size=batch_size,
         gradient_accumulation_steps=accum, use_amp=True,
-        remat=False, unroll_layers=12)
+        remat=False, unroll_layers=12, unstack_layers=unstack)
     params = m.init_clip_params(jax.random.key(0), model_cfg)
+    if unstack:
+        params = m.unstack_layers(params)
     anchor = jax.tree.map(jnp.copy, params)
     opt = make_optimizer(cfg, params, anchor_params=anchor)
     opt_state = opt.init(params)

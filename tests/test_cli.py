@@ -39,10 +39,13 @@ def test_train_and_resume(workdir, capsys):
 
     # Resume: epoch counter recomputed from global_step
     # (finetuner.py:339-342 behavior), continues to epoch 2. Also
-    # exercises the perf knobs (identical math by construction).
+    # exercises the perf knobs (identical math by construction) —
+    # including restoring a STACKED checkpoint into the unstacked
+    # runtime layout (engine.from_checkpoint_format over real orbax).
     main(train_args(workdir, 2, ["--resume", "--fused-sparc",
                                  "--unroll-layers", "2",
-                                 "--unroll-accum", "2", "--remat", "0"]))
+                                 "--unroll-accum", "2", "--remat", "0",
+                                 "--unstack-layers"]))
     out = capsys.readouterr().out
     assert "resumed from" in out
     # best/ only refreshes on a new best loss; the periodic epoch_1

@@ -40,6 +40,10 @@ def main():
 
     cfg = CLIPConfig.from_name(model_name)
     params = m.init_clip_params(jax.random.key(0), cfg)
+    if os.environ.get("BENCH_UNSTACK", "1") == "1":
+        # The towers consume unstacked per-layer trees transparently —
+        # same straight-line-layers win as training (BASELINE.md round 2).
+        params = m.unstack_layers(params)
     inf = CLIPInference(params, cfg, batch_bucket=batch)
 
     rng = np.random.default_rng(0)

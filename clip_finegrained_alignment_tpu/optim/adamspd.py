@@ -77,15 +77,18 @@ def adamspd(
     """
 
     def init_fn(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
         anchor = anchor_params if anchor_params is not None else \
             jax.tree.map(jnp.array, params)
         return AdamSPDState(
             count=jnp.zeros([], jnp.int32),
             mu=jax.tree.map(jnp.zeros_like, params),
             nu=jax.tree.map(jnp.zeros_like, params),
-            nu_max=zeros if amsgrad else jax.tree.map(
-                lambda x: jnp.zeros((), x.dtype), params),
+            # amsgrad off: a single scalar placeholder, NOT a params-like
+            # tree of scalars — a degenerate per-leaf tree cannot be
+            # converted between the stacked/unstacked checkpoint layouts
+            # (engine._map_param_trees) without shape ambiguity.
+            nu_max=jax.tree.map(jnp.zeros_like, params) if amsgrad
+            else jnp.zeros([], jnp.float32),
             anchor=anchor,
         )
 

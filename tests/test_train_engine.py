@@ -304,6 +304,12 @@ def test_unstacked_layers_equals_stacked(rng):
                                    rtol=1e-5, atol=1e-6)
     assert jax.tree.structure(ck_u) == jax.tree.structure(t_s.params)
     assert jax.tree.structure(ck_opt_u) == jax.tree.structure(t_s.opt_state)
+    # Shapes too — the stacked checkpoint format must be byte-compatible
+    # across the knob (a degenerate nu_max placeholder tree once converted
+    # per-layer scalars to [L] arrays here).
+    for a, b in zip(jax.tree.leaves(ck_opt_u),
+                    jax.tree.leaves(t_s.opt_state)):
+        assert jnp.shape(a) == jnp.shape(b), (jnp.shape(a), jnp.shape(b))
 
     # Roundtrip back to the runtime layout.
     before = jax.tree.leaves(t_u.params)

@@ -41,7 +41,7 @@ def main():
     # reference semantics. Measured sweep: 32x8 = 791 pairs/s, 64x4 = 756,
     # flat 256 = 676 (smaller microbatches cut remat recompute traffic).
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     accum = int(os.environ.get("BENCH_ACCUM", "8"))
     # Pallas kernels are measured with BENCH_PALLAS=1; default off for the
     # driver run because each Pallas kernel adds ~5 min of remote-compile

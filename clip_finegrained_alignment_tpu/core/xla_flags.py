@@ -1,0 +1,33 @@
+"""XLA_FLAGS helpers that must run before backend initialization.
+
+Importing this module pulls in nothing heavy (no jax) so entry points can
+call it first thing. XLA_FLAGS is read when the first backend is created
+(the first ``jax.devices()``/computation), not at ``import jax`` — so
+mutating ``os.environ`` here is effective as long as no backend exists
+yet.
+"""
+
+from __future__ import annotations
+
+import os
+
+_SCHED_FLAG = "--xla_cpu_enable_concurrency_optimized_scheduler=false"
+
+
+def ensure_cpu_collective_program_order() -> None:
+    """Keep XLA:CPU collectives in program order on virtual multi-device
+    meshes.
+
+    The concurrency-optimized thunk scheduler lets different virtual-device
+    threads reach independent collectives in different orders, which
+    deadlocks the in-process rendezvous (reproduced with a TP=2 mesh +
+    AdamSPD: all 8 device threads block in three different collectives —
+    a cycle; raising the rendezvous timeouts does not help). TPU executes
+    collectives in per-core program order and is unaffected.
+
+    Call from every entry point that builds a multi-device CPU mesh
+    (tests/conftest.py, ``__graft_entry__.py``, tests/mp_worker.py).
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_enable_concurrency_optimized_scheduler" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " " + _SCHED_FLAG).strip()

@@ -18,6 +18,7 @@ framework stays importable anywhere.
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 import threading
@@ -156,7 +157,9 @@ def assemble_batch(paths: Sequence[str], size: int,
     loader geometries (count_dataloader.py:12-24 white pad;
     synthetic_dataloader.py:69-76 HF shorter-side + center crop). Returns
     None when the native library is unavailable (callers fall back to
-    PIL); failed samples decode to zeros (count logged by caller)."""
+    PIL); failed samples decode to zeros and are warn-logged here with
+    their paths (a corrupt file must not silently train as a black
+    image)."""
     lib = _load()
     if lib is None:
         return None
@@ -166,7 +169,14 @@ def assemble_batch(paths: Sequence[str], size: int,
     out = np.empty((n, size, size, 3), np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     nt = threads if threads is not None else min(8, os.cpu_count() or 1)
-    lib.cfa_assemble_batch_v2(arr, n, size, mode, _u8ptr(out), nt)
+    failures = lib.cfa_assemble_batch_v2(arr, n, size, mode, _u8ptr(out),
+                                         nt)
+    if failures:
+        bad = [paths[i] for i in range(n)
+               if not out[i].any()][:failures]
+        logging.getLogger(__name__).warning(
+            "native assembler: %d/%d images failed to decode "
+            "(zero-filled): %s", failures, n, bad[:5])
     return out
 
 

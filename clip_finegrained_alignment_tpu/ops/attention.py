@@ -36,28 +36,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._pallas_common import interpret as _interpret, vma as _vma
+
 _NEG = -1e9
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
-
-def _interpret() -> bool:
-    """Pallas TPU kernels run in interpreter mode on non-TPU backends
-    (CPU unit tests / the virtual 8-device mesh)."""
-    return jax.default_backend() != "tpu"
-
-
-def _vma(*xs):
-    """Union of varying-manual-axes of the inputs. Inside ``shard_map``
-    (the DDP-parity train path) pallas_call outputs must declare which
-    mesh axes they vary over, or tracing fails under ``check_vma``;
-    outside shard_map this is the empty set (a no-op)."""
-    out = frozenset()
-    for x in xs:
-        out |= getattr(jax.typeof(x), "vma", frozenset())
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._pallas_common import interpret as _interpret, vma as _vma
+
 _NEG = -1e9
 BLOCKWISE_THRESHOLD = 1024  # use the fused whole-tile kernel below this
 
@@ -40,20 +42,6 @@ BLOCKWISE_THRESHOLD = 1024  # use the fused whole-tile kernel below this
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _vma(*xs):
-    """Union of varying-manual-axes of the inputs. Inside ``shard_map``
-    (the DDP-parity train path) pallas_call outputs must declare which
-    mesh axes they vary over, or tracing fails under ``check_vma``;
-    outside shard_map this is the empty set (a no-op)."""
-    out = frozenset()
-    for x in xs:
-        out |= getattr(jax.typeof(x), "vma", frozenset())
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -37,15 +37,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._pallas_common import interpret as _interpret, vma as _vma
+
 _EPS = 1e-8  # matches objectives/losses.py
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _sparc_kernel(v_ref, l_ref, mask_ref, o_ref, *, threshold: float,
@@ -61,14 +59,16 @@ def _sparc_kernel(v_ref, l_ref, mask_ref, o_ref, *, threshold: float,
     Tp = l.shape[0]
     Pp = v.shape[0]
 
-    # Plain-norm division (eps=0) for exact parity with
-    # objectives.losses.l2_normalize; padded all-zero rows divide to 0/0 →
-    # NaN there, but they are masked out of every consumer below, matching
-    # the unfused path. Guard padded rows only.
+    # x·rsqrt(max(Σx², eps²)) — EXACTLY objectives.losses.l2_normalize
+    # (torch F.normalize semantics, eps=1e-12): zero rows (incl. padding)
+    # normalize to zeros, and rows with 0 < ‖x‖ < eps divide by eps, not
+    # their true norm. The backward kernel recomputes with the same guard
+    # — fwd and bwd must describe the same function.
+    NEPS = jnp.float32(1e-12 * 1e-12)
     v_sq = jnp.sum(v * v, axis=-1, keepdims=True)
     l_sq = jnp.sum(l * l, axis=-1, keepdims=True)
-    v_norm = v * jax.lax.rsqrt(jnp.where(v_sq > 0, v_sq, 1.0))
-    l_norm = l * jax.lax.rsqrt(jnp.where(l_sq > 0, l_sq, 1.0))
+    v_norm = v * jax.lax.rsqrt(jnp.maximum(v_sq, NEPS))
+    l_norm = l * jax.lax.rsqrt(jnp.maximum(l_sq, NEPS))
 
     sim = jax.lax.dot_general(                            # [Tp, Pp]
         l_norm, v_norm, (((1,), (1,)), ((), ())),
@@ -198,16 +198,6 @@ def _sparc_bwd_kernel(v_ref, l_ref, mask_ref, g_ref, dv_ref, dl_ref, *,
     dv_ref[0] = dv.astype(dv_ref.dtype)
     dl_ref[0] = dl.astype(dl_ref.dtype)
 
-
-def _vma(*xs):
-    """Union of varying-manual-axes of the inputs. Inside ``shard_map``
-    (the DDP-parity train path) pallas_call outputs must declare which
-    mesh axes they vary over, or tracing fails under ``check_vma``;
-    outside shard_map this is the empty set (a no-op)."""
-    out = frozenset()
-    for x in xs:
-        out |= getattr(jax.typeof(x), "vma", frozenset())
-    return out
 
 
 def _fused_forward(v_patch, l_token, mask, threshold):

@@ -12,7 +12,14 @@ host by construction.
 Policy parity: ``best`` saved on new best epoch-average loss
 (``finetuner.py:215-218``), periodic ``epoch_{n}`` every ``save_every``
 epochs (:220-223), config carried inside the checkpoint and checked on
-restore with mismatch warnings (:249-254)."""
+restore with mismatch warnings (:249-254).
+
+Format note: checkpoints always store the stacked-layers param layout
+(``train/engine.py::Trainer.to_checkpoint_format``). Breaking change in
+round 2: AdamSPD's ``nu_max`` placeholder (amsgrad off) became a single
+scalar instead of a params-like tree of scalars; checkpoints written
+before that change need their ``nu_max`` subtree collapsed to restore
+(none exist outside throwaway runs)."""
 
 from __future__ import annotations
 

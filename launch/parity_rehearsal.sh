@@ -147,5 +147,11 @@ json.dump([{"suite": s, "metric": m, "reference": r, "tpu": o,
           open(os.path.join(out, "parity_table.json"), "w"), indent=2)
 print(f"\n{len(rows)} comparisons, {fails} outside +-0.5% "
       f"-> {os.path.join(out, 'parity_table.json')}")
+if not rows:
+    # Zero extracted comparisons means a results-file glob or log-format
+    # assumption broke upstream — that is a rehearsal FAILURE, not a pass.
+    print("ERROR: no metric pairs extracted; refusing to report parity",
+          file=sys.stderr)
+    sys.exit(2)
 sys.exit(1 if fails else 0)
 EOF

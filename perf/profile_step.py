@@ -14,8 +14,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    os.environ.setdefault("BENCH_REMAT", "0")
-    os.environ.setdefault("BENCH_UNROLL", "12")
     import jax
     import numpy as np
     import jax.numpy as jnp
@@ -29,12 +27,16 @@ def main():
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     accum = 8
     model_cfg = CLIPConfig.vit_b16()
+    # Same env knobs as bench.py, same defaults (the production regime).
     unstack = os.environ.get("BENCH_UNSTACK", "1") == "1"
+    remat = {"0": False, "1": True,
+             "dots": "dots"}[os.environ.get("BENCH_REMAT", "0")]
+    unroll = int(os.environ.get("BENCH_UNROLL", "12"))
     cfg = TrainConfig(
         clip_model="ViT-B/16", loss_type="sparc", optimizer_type="adamspd",
         inverse_temperature=0.07, batch_size=batch_size,
         gradient_accumulation_steps=accum, use_amp=True,
-        remat=False, unroll_layers=12, unstack_layers=unstack)
+        remat=remat, unroll_layers=unroll, unstack_layers=unstack)
     params = m.init_clip_params(jax.random.key(0), model_cfg)
     if unstack:
         params = m.unstack_layers(params)

@@ -16,17 +16,13 @@ import os
 # time, so the env route works for the device count.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# XLA:CPU's multi-threaded thunk executor can reach independent collectives
-# in different orders on different virtual-device threads, deadlocking the
-# in-process rendezvous (reproduced with a TP=2 mesh + AdamSPD: all 8
-# device threads block in three different collectives — a cycle). The
-# non-concurrency-optimized scheduler keeps collectives in program order.
-# TPU is unaffected (per-core program-order execution).
-if "xla_cpu_enable_concurrency_optimized_scheduler" not in flags:
-    flags = (flags +
-             " --xla_cpu_enable_concurrency_optimized_scheduler=false")
-os.environ["XLA_FLAGS"] = flags
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+# Deadlock workaround for CPU-mesh collectives (see the helper's docstring).
+from clip_finegrained_alignment_tpu.core.xla_flags import \
+    ensure_cpu_collective_program_order  # noqa: E402
+
+ensure_cpu_collective_program_order()
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 # Tests run hermetically with no real CLIP vocab file; opt into the

@@ -22,13 +22,11 @@ import numpy as np
 # Script lives in tests/; the package root is one level up.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Program-order CPU collectives — see tests/conftest.py (deadlock
-# otherwise possible with concurrent independent collectives).
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_cpu_enable_concurrency_optimized_scheduler" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_cpu_enable_concurrency_optimized_scheduler=false"
-    ).strip()
+# Deadlock workaround for CPU-mesh collectives (see the helper docstring).
+from clip_finegrained_alignment_tpu.core.xla_flags import \
+    ensure_cpu_collective_program_order  # noqa: E402
+
+ensure_cpu_collective_program_order()
 
 
 def main():

@@ -293,3 +293,25 @@ def test_pallas_attention_inside_shard_map(rng):
     got = float(jax.jit(sharded)(q, k, v))
     ref = float((_xla_attention(q, k, v, None, scale) ** 2).sum() / n)
     np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_fused_sparc_tiny_norm_rows(rng):
+    """Rows with 0 < ||x|| < l2_normalize's eps (1e-12) must divide by
+    eps (torch F.normalize semantics), identically in the fused forward,
+    the fused backward's recompute, and the unfused chain — regression
+    for a fwd kernel that divided tiny rows by their true norm."""
+    v, l, mask = make_sparc_inputs(rng, B=2, P=6, T=5, D=8)
+    v = v.at[0, 2].set(1e-13)              # tiny-but-nonzero patch row
+    l = l.at[1, 3].set(-1e-13)             # tiny-but-nonzero token row
+    out_f = fused_sparc_pooling(v, l, mask, 0.5)
+    out_r = _reference_chain(v, l, mask, 0.5)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-6)
+    g = jnp.asarray(rng.normal(size=out_r.shape).astype(np.float32))
+    _, vjp_f = jax.vjp(lambda a, b: fused_sparc_pooling(a, b, mask, 0.5),
+                       v, l)
+    _, vjp_r = jax.vjp(lambda a, b: _reference_chain(a, b, mask, 0.5),
+                       v, l)
+    for a, b in zip(vjp_f(g), vjp_r(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

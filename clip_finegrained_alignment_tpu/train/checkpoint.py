@@ -15,11 +15,12 @@ epochs (:220-223), config carried inside the checkpoint and checked on
 restore with mismatch warnings (:249-254).
 
 Format note: checkpoints always store the stacked-layers param layout
-(``train/engine.py::Trainer.to_checkpoint_format``). Breaking change in
-round 2: AdamSPD's ``nu_max`` placeholder (amsgrad off) became a single
-scalar instead of a params-like tree of scalars; checkpoints written
-before that change need their ``nu_max`` subtree collapsed to restore
-(none exist outside throwaway runs)."""
+(``train/engine.py::Trainer.to_checkpoint_format``). Round 2 changed
+AdamSPD's ``nu_max`` placeholder (amsgrad off) from a params-like tree of
+scalars to a single scalar; ``restore`` transparently migrates legacy
+checkpoints by restoring the old per-leaf layout and collapsing it to the
+scalar placeholder (the per-leaf scalars were all zeros — pure
+placeholder — so the collapse is lossless)."""
 
 from __future__ import annotations
 
@@ -38,6 +39,62 @@ except ImportError:  # pragma: no cover
     _HAVE_ORBAX = False
 
 from ..config import TrainConfig
+
+
+def _map_adamspd_states(fn, tree):
+    """Apply ``fn`` to every AdamSPDState in an (optax chain) opt_state
+    pytree, rebuilding containers (tuples / namedtuples / dicts / lists)
+    around it. Non-jax traversal on purpose: the states hold ShapeDtypeStructs
+    during restore planning, and jax.tree.map would descend into them."""
+    from ..optim.adamspd import AdamSPDState
+    if isinstance(tree, AdamSPDState):
+        return fn(tree)
+    if isinstance(tree, tuple):
+        mapped = [_map_adamspd_states(fn, t) for t in tree]
+        if hasattr(tree, "_fields"):      # other namedtuples (optax states)
+            return type(tree)(*mapped)
+        return tuple(mapped)
+    if isinstance(tree, list):
+        return [_map_adamspd_states(fn, t) for t in tree]
+    if isinstance(tree, dict):
+        return {k: _map_adamspd_states(fn, v) for k, v in tree.items()}
+    return tree
+
+
+def _legacy_nu_max_like(like):
+    """Rewrite a restore ``like`` tree to the pre-round-2 AdamSPD layout:
+    ``nu_max`` (amsgrad off) was a params-like tree of f32 scalars instead
+    of one scalar. Returns (legacy_like, found) where found says whether
+    any scalar-placeholder state was rewritten."""
+    found = []
+
+    def to_legacy(state):
+        nu_max = state.nu_max
+        is_scalar_placeholder = (
+            not isinstance(nu_max, (dict, list, tuple))
+            and getattr(nu_max, "shape", None) == ())
+        if not is_scalar_placeholder:
+            return state
+        found.append(True)
+        legacy = jax.tree.map(
+            lambda _: jax.ShapeDtypeStruct((), np.dtype("float32")),
+            state.mu)
+        return state._replace(nu_max=legacy)
+
+    return _map_adamspd_states(to_legacy, like), bool(found)
+
+
+def _collapse_legacy_nu_max(state_tree):
+    """Collapse a restored legacy per-leaf ``nu_max`` (all-zeros
+    placeholder) back to the current single-scalar form."""
+    import jax.numpy as jnp
+
+    def collapse(state):
+        if isinstance(state.nu_max, (dict, list, tuple)):
+            return state._replace(nu_max=jnp.zeros([], jnp.float32))
+        return state
+
+    return _map_adamspd_states(collapse, state_tree)
 
 
 def _abstract_like(tree):
@@ -149,12 +206,41 @@ class CheckpointManager:
         ``finetuner.py:249-254``)."""
         self.wait()
         path = os.path.join(self.directory, which)
-        state = self._ckptr.restore(path, _abstract_like(like))
+        abstract = _abstract_like(like)
+        try:
+            state = self._ckptr.restore(path, abstract)
+        except Exception as e:
+            # Migration: pre-round-2 checkpoints stored AdamSPD's
+            # amsgrad-off nu_max as a params-like tree of scalars. Retry
+            # with the legacy layout and collapse it to the scalar
+            # placeholder (all leaves were zeros, so this is lossless).
+            legacy_like, found = _legacy_nu_max_like(abstract)
+            if not found:
+                raise
+            try:
+                state = self._ckptr.restore(path, legacy_like)
+            except Exception:
+                raise e  # original layout error is the informative one
+            state = _collapse_legacy_nu_max(state)
+            warnings.warn(
+                "restored a pre-round-2 checkpoint with the legacy "
+                "per-leaf nu_max layout; collapsed to the scalar "
+                "placeholder. Re-saving will write the current format.")
         meta_path = os.path.join(path, "meta.json")
         meta = {}
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
+        elif os.path.isdir(path):
+            # meta.json is written by process 0 only; if the step dir is
+            # visible but meta is not, this host does not share the
+            # checkpoint filesystem with process 0 — resuming would
+            # silently reset global_step/best_loss on this host and
+            # diverge epoch counters (orbax itself requires a shared FS).
+            raise RuntimeError(
+                f"checkpoint {path} exists but meta.json is missing — "
+                "the checkpoint directory must be on a filesystem shared "
+                "with process 0 (which writes meta.json)")
         if config is not None and meta.get("config"):
             current = config.to_dict()
             for k, v in meta["config"].items():

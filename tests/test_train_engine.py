@@ -316,3 +316,62 @@ def test_unstacked_layers_equals_stacked(rng):
     t_u.from_checkpoint_format(ck_u, ck_opt_u)
     for a, b in zip(before, jax.tree.leaves(t_u.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_legacy_nu_max_checkpoint_migration(rng, tmp_path):
+    """Pre-round-2 checkpoints stored AdamSPD's amsgrad-off nu_max as a
+    params-like tree of scalar zeros; restore must detect the legacy
+    layout, collapse it to the current scalar placeholder, and warn
+    (train/checkpoint.py::_legacy_nu_max_like)."""
+    from clip_finegrained_alignment_tpu.train.checkpoint import (
+        CheckpointManager, _map_adamspd_states)
+
+    cfg = tiny_train_config(optimizer_type="adamspd")
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_every=1)
+    trainer = Trainer(cfg, checkpoint_manager=mgr)
+    batch = make_batch(rng, cfg.effective_batch_size)
+    trainer.train(lambda epoch: [batch], num_epochs=1)
+
+    # Synthesize the legacy on-disk layout: per-leaf scalar nu_max.
+    def to_legacy(state):
+        assert jnp.shape(state.nu_max) == ()  # current scalar placeholder
+        return state._replace(nu_max=jax.tree.map(
+            lambda _: jnp.zeros([], jnp.float32), state.mu))
+    legacy_opt = _map_adamspd_states(to_legacy, trainer.opt_state)
+    mgr.save(epoch=1, params=trainer.params, opt_state=legacy_opt,
+             global_step=2, best_loss=0.0, avg_loss=0.0, is_best=True,
+             config=cfg)
+
+    like = {"params": trainer.params, "opt_state": trainer.opt_state}
+    import warnings as w
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        state, meta = mgr.restore("best", like=like)
+    assert any("legacy" in str(r.message) for r in rec)
+    assert meta["global_step"] == 2
+    # Restored tree matches the CURRENT layout exactly (scalar nu_max).
+    assert (jax.tree.structure(state["opt_state"])
+            == jax.tree.structure(trainer.opt_state))
+    for a, b in zip(jax.tree.leaves(state["params"]),
+                    jax.tree.leaves(trainer.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_missing_meta_raises(rng, tmp_path):
+    """meta.json is written by process 0 only; a visible step dir without
+    it means a non-shared checkpoint FS — restore must fail loudly instead
+    of silently resetting global_step (advisor finding)."""
+    import os
+    import pytest
+    from clip_finegrained_alignment_tpu.train.checkpoint import \
+        CheckpointManager
+
+    cfg = tiny_train_config()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_every=1)
+    trainer = Trainer(cfg, checkpoint_manager=mgr)
+    batch = make_batch(rng, cfg.effective_batch_size)
+    trainer.train(lambda epoch: [batch], num_epochs=1)
+    os.remove(str(tmp_path / "ckpt" / "best" / "meta.json"))
+    like = {"params": trainer.params, "opt_state": trainer.opt_state}
+    with pytest.raises(RuntimeError, match="meta.json"):
+        mgr.restore("best", like=like)

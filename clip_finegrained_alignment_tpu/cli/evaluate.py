@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("--samples", type=int, default=500)
     cr.add_argument("--white-square", action="store_true")
     cr.add_argument("--output", default="crop_evaluation_results.json")
+    cr.add_argument("--debug-dir", default=None,
+                    help="save per-condition bbox-overlay PNGs per sample "
+                         "(reference --debug, crop_eval.py:175-227)")
     return p
 
 
@@ -158,7 +161,8 @@ def main(argv=None) -> None:
         ev = CropDetectionEvaluator(
             params, model_cfg, tokenizer=tokenizer,
             use_pallas=args.pallas, use_white_square=args.white_square)
-        results = ev.run_evaluation(source, num_samples=args.samples)
+        results = ev.run_evaluation(source, num_samples=args.samples,
+                                    debug_dir=args.debug_dir)
         ev.save(results, args.output)
         print("\nEvaluation Summary:")
         for cond, stats in results["aggregate_stats"].items():

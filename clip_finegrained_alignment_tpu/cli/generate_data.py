@@ -30,10 +30,15 @@ def main(argv=None) -> None:
     p.add_argument("--image-size", type=int, default=224,
                    help="procedural-source frame size")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--visualize", type=int, default=0, metavar="N",
+                   help="render the first N generated samples with their "
+                        "bbox overlays to <output-dir>/viz/ (reference "
+                        "visualize_sample, gen_synthetic_data.py:347-378)")
     args = p.parse_args(argv)
 
     from ..data.synthetic import (CocoSource, ProceduralSource,
-                                  SyntheticCountGenerator)
+                                  SyntheticCountGenerator,
+                                  visualize_dataset)
 
     if args.procedural or not args.coco_dir:
         source = ProceduralSource(args.image_size)
@@ -49,6 +54,15 @@ def main(argv=None) -> None:
                         seed=args.seed)
     print(f"wrote {len(anns)} samples to {args.output_dir}/"
           f"synthetic_annotations.json")
+
+    if args.visualize > 0:
+        import os
+        paths = visualize_dataset(
+            anns, os.path.join(args.output_dir, "viz"),
+            num_samples=args.visualize,
+            show_integers=(args.annotation_mode == "integer"))
+        print(f"wrote {len(paths)} bbox-overlay previews to "
+              f"{args.output_dir}/viz/")
 
 
 if __name__ == "__main__":

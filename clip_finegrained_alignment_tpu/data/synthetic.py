@@ -306,6 +306,48 @@ class SyntheticCountGenerator:
         return dataset
 
 
+def visualize_sample(sample: Dict, path: str, *, show_labels: bool = True,
+                     show_caption: bool = True,
+                     show_integers: bool = False) -> None:
+    """Render one generated sample with its pasted boxes for eyeballing
+    data quality (``gen_synthetic_data.py:347-378``'s ``visualize_sample``):
+    red box outlines, optional per-box label text (plus the packed
+    box-integer when ``show_integers``), the caption as a bottom figtext.
+    ``count``-mode annotations carry no boxes (reference schema,
+    :308-315) — those render image + caption only, as the reference's
+    ``if 'boxes' in sample`` guard does."""
+    from PIL import Image
+
+    from ..eval.viz import save_image_with_bbox
+
+    img = np.asarray(Image.open(sample["image_path"]).convert("RGB"))
+    boxes = sample.get("boxes", [])
+    labels = None
+    if show_labels and boxes:
+        labels = list(sample.get("labels", []))
+        if show_integers and "box_integers" in sample:
+            labels = [f"{lb}\n{bi}" for lb, bi in
+                      zip(labels, sample["box_integers"])]
+    xywh = [[x1, y1, x2 - x1, y2 - y1] for x1, y1, x2, y2 in boxes] \
+        if boxes else np.zeros((0, 4))
+    save_image_with_bbox(
+        img, xywh, path, labels=labels,
+        caption=sample.get("caption", "") if show_caption else "")
+
+
+def visualize_dataset(annotations: List[Dict], output_dir: str,
+                      num_samples: int = 8, **kw) -> List[str]:
+    """Dump bbox-overlay PNGs for the first ``num_samples`` annotations;
+    returns the written paths (CLI ``--visualize`` entry)."""
+    os.makedirs(output_dir, exist_ok=True)
+    paths = []
+    for i, sample in enumerate(annotations[:num_samples]):
+        p = os.path.join(output_dir, f"debug_{i}.png")
+        visualize_sample(sample, p, **kw)
+        paths.append(p)
+    return paths
+
+
 def generate_procedural_dataset(output_dir: str, num_samples: int,
                                 *, image_size: int = 224,
                                 max_objects: int = 10,

@@ -185,12 +185,20 @@ class CropDetectionEvaluator:
         return self.scorer(px, ids, mask)
 
     def evaluate_sample(self, image: np.ndarray, bbox, true_name: str,
-                        false_name: str) -> Dict[str, Dict]:
-        """All 6 conditions for one sampled image, one batched forward."""
+                        false_name: str,
+                        debug_dir: Optional[str] = None) -> Dict[str, Dict]:
+        """All 6 conditions for one sampled image, one batched forward.
+
+        ``debug_dir``: when set, save per-condition bbox-overlay PNGs the
+        way the reference's ``--debug`` mode does (crop_eval.py:175-227):
+        ``original_positive.png`` plus ``crop_{5,10}_positive.png``, each
+        titled with the condition and its pos-vs-neg scores, the box drawn
+        in crop-local coordinates.
+        """
         if self.use_white_square:
             image, bbox = white_square_image(), [50, 50, 50, 50]
-        crop05, _ = crop_to_target_ratio(image, bbox, 0.05)
-        crop10, _ = crop_to_target_ratio(image, bbox, 0.10)
+        crop05, bbox05 = crop_to_target_ratio(image, bbox, 0.05)
+        crop10, bbox10 = crop_to_target_ratio(image, bbox, 0.10)
         images = [image, image, crop05, crop05, crop10, crop10]
         names = [true_name, false_name] * 3
         probs = self._score_pairs(images, names)
@@ -210,15 +218,41 @@ class CropDetectionEvaluator:
                 "ground_truth": "negative" if is_negative_control
                 else "positive",
             }
+
+        if debug_dir is not None:
+            from .viz import save_image_with_bbox
+            for fname, img, bx, cond, label in (
+                    ("original_positive.png", image, bbox,
+                     "original_positive", "Original"),
+                    ("crop_5_positive.png", crop05, bbox05,
+                     "crop_05_positive", "5% Crop"),
+                    ("crop_10_positive.png", crop10, bbox10,
+                     "crop_10_positive", "10% Crop")):
+                r = out[cond]
+                save_image_with_bbox(
+                    img, bx, os.path.join(debug_dir, fname),
+                    title=f"{label} - True {true_name} "
+                          f"({r['positive_score']:.2f} vs "
+                          f"{r['negative_score']:.2f})")
         return out
 
-    def run_evaluation(self, source, num_samples: int = 100) -> Dict:
-        """crop_eval.py:240-264 + aggregation :266-289."""
+    def run_evaluation(self, source, num_samples: int = 100,
+                       debug_dir: Optional[str] = None) -> Dict:
+        """crop_eval.py:240-264 + aggregation :266-289. ``debug_dir``
+        enables per-sample bbox-overlay dumps into
+        ``<debug_dir>/<index>_<category>/`` (reference save-dir scheme,
+        crop_eval.py:179-180)."""
         all_results = []
         while len(all_results) < num_samples:
             try:
                 image, bbox, true_name, false_name = source.sample()
-                r = self.evaluate_sample(image, bbox, true_name, false_name)
+                sample_dir = None
+                if debug_dir is not None:
+                    sample_dir = os.path.join(
+                        debug_dir,
+                        f"{len(all_results)}_{true_name.replace(' ', '_')}")
+                r = self.evaluate_sample(image, bbox, true_name, false_name,
+                                         debug_dir=sample_dir)
                 r["category"] = true_name
                 all_results.append(r)
             except Exception as e:

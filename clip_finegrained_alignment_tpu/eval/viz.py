@@ -34,6 +34,43 @@ def save_debug_image(image: np.ndarray, path: str,
     plt.close()
 
 
+def save_image_with_bbox(image: np.ndarray, bboxes, path: str,
+                         title: str = "",
+                         labels: Optional[Sequence[str]] = None,
+                         caption: str = "") -> None:
+    """Image with red bounding-box overlays
+    (``zero_shot_detection/crop_eval.py:20-32`` — single [x, y, w, h] box —
+    and the multi-box form of ``gen_synthetic_data.py:347-378``'s
+    ``visualize_sample``, which adds per-box labels and a bottom caption).
+
+    ``bboxes``: one ``[x, y, w, h]`` box or a sequence of them.
+    """
+    plt = _plt()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    boxes = np.asarray(bboxes, dtype=float)
+    if boxes.ndim == 1:
+        boxes = boxes[None]
+    plt.figure(figsize=(10, 10))
+    plt.imshow(image)
+    ax = plt.gca()
+    from matplotlib import patches
+    for i, (x, y, w, h) in enumerate(boxes):
+        ax.add_patch(patches.Rectangle((x, y), w, h, linewidth=2,
+                                       edgecolor="r", facecolor="none"))
+        if labels is not None and i < len(labels):
+            ax.text(x, y, labels[i],
+                    bbox=dict(facecolor="white", alpha=0.7), fontsize=8)
+    if title:
+        plt.title(title)
+    if caption:
+        plt.figtext(0.5, 0.02, caption, wrap=True,
+                    horizontalalignment="center", fontsize=10,
+                    bbox=dict(facecolor="white", alpha=0.7))
+    plt.axis("off")
+    plt.savefig(path, bbox_inches="tight", pad_inches=0.5 if caption else 0)
+    plt.close()
+
+
 def plot_template_probabilities(templates: Sequence[str],
                                 probs: np.ndarray, path: str,
                                 positive_indices: Sequence[int]) -> None:

@@ -226,3 +226,42 @@ def test_end_to_end_tiny_training_from_pipeline(tiny_dataset_dir, rng):
     result = trainer.train(pipe, num_epochs=2, log_fn=None)
     assert result["global_step"] == 2  # 12 samples // 8 = 1 batch/epoch
     assert np.isfinite(result["best_loss"])
+
+
+def test_visualize_dataset(tmp_path):
+    """Bbox-overlay previews (gen_synthetic_data.py:347-378 parity): boxes
+    + labels + packed integers in integer mode; caption-only render for
+    count mode, which records no boxes (reference schema :308-315)."""
+    import os
+
+    from clip_finegrained_alignment_tpu.data.synthetic import (
+        generate_procedural_dataset, visualize_dataset)
+
+    anns = generate_procedural_dataset(str(tmp_path / "ds"), 2,
+                                       image_size=96, max_objects=3,
+                                       annotation_mode="integer", seed=5)
+    paths = visualize_dataset(anns, str(tmp_path / "viz"), num_samples=2,
+                              show_integers=True)
+    assert len(paths) == 2 and all(os.path.getsize(p) > 0 for p in paths)
+
+    anns_c = generate_procedural_dataset(str(tmp_path / "ds_c"), 1,
+                                         image_size=96, max_objects=2,
+                                         annotation_mode="count", seed=6)
+    assert "boxes" not in anns_c[0]
+    paths_c = visualize_dataset(anns_c, str(tmp_path / "viz_c"),
+                                num_samples=1)
+    assert os.path.getsize(paths_c[0]) > 0
+
+
+def test_generate_data_cli_visualize(tmp_path):
+    """cli.generate_data --visualize writes previews under <out>/viz/."""
+    import os
+
+    from clip_finegrained_alignment_tpu.cli.generate_data import main
+
+    out = str(tmp_path / "gen")
+    main(["--procedural", "--num-samples", "2", "--output-dir", out,
+          "--image-size", "96", "--annotation-mode", "full",
+          "--visualize", "2"])
+    viz = os.path.join(out, "viz")
+    assert sorted(os.listdir(viz)) == ["debug_0.png", "debug_1.png"]

@@ -231,3 +231,20 @@ def test_evaluate_batch(params, rng, tmp_path):
     assert 0.0 <= acc <= 1.0
     assert os.path.exists(png)
     assert len(results) == B
+
+
+def test_crop_detection_debug_dir(params, tmp_path):
+    """--debug-dir parity (crop_eval.py:175-227): per-sample dirs with the
+    three positive-condition bbox overlays."""
+    src = ProceduralObjectSource(image_size=256, seed=3)
+    ev = CropDetectionEvaluator(params, CFG, tokenizer=TOK)
+    dbg = str(tmp_path / "dbg")
+    ev.run_evaluation(src, num_samples=2, debug_dir=dbg)
+    sample_dirs = sorted(os.listdir(dbg))
+    assert len(sample_dirs) == 2
+    for d in sample_dirs:
+        files = set(os.listdir(os.path.join(dbg, d)))
+        assert files == {"original_positive.png", "crop_5_positive.png",
+                         "crop_10_positive.png"}
+        for f in files:
+            assert os.path.getsize(os.path.join(dbg, d, f)) > 0

@@ -138,9 +138,12 @@ class CountingDataPipeline:
         # released. Geometry matches the PIL path per mode: standard →
         # shorter-side resize + center crop (HF-processor window,
         # synthetic_dataloader.py:69-76), counterfactual → white pad to
-        # square (count_dataloader.py:12-24). Remaining difference: box
-        # filter vs PIL bicubic (same pixels, different kernel). "auto"
-        # uses it when the library builds; "never" forces PIL.
+        # square (count_dataloader.py:12-24). The resample kernel is the
+        # PIL-compatible antialiased bicubic (native.FILTER_BICUBIC
+        # default) — measured ≤1 LSB vs the PIL path on both geometries
+        # (tests/test_native.py::test_bicubic_matches_pil*), so
+        # use_native="auto" no longer changes training-data numerics.
+        # "auto" uses it when the library builds; "never" forces PIL.
         if use_native not in ("auto", "always", "never"):
             raise ValueError(f"bad use_native {use_native!r}")
         if use_native == "never":

@@ -66,8 +66,8 @@ def _load():
             lib = ctypes.CDLL(_SO)
             # A stale binary (older API) must not be loaded: probe the
             # newest symbol and rebuild from source if it's missing.
-            if not hasattr(lib, "cfa_assemble_batch_v2"):
-                raise OSError("stale libcfa_host.so (missing v2 API)")
+            if not hasattr(lib, "cfa_assemble_batch_v3"):
+                raise OSError("stale libcfa_host.so (missing v3 API)")
         except OSError:
             # Wrong arch / stale / corrupt binary: rebuild from source
             # before giving up (ADVICE.md: never pin _build_error on a
@@ -95,6 +95,14 @@ def _load():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
         lib.cfa_assemble_batch_v2.restype = ctypes.c_int
+        lib.cfa_assemble_batch_v3.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        lib.cfa_assemble_batch_v3.restype = ctypes.c_int
+        lib.cfa_resize_bicubic_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
         lib.cfa_alpha_paste.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
@@ -145,21 +153,29 @@ MODE_STRETCH = 0        # direct resize to SxS (aspect squash)
 MODE_PAD_SQUARE = 1     # white pad to square, then resize
 MODE_CENTER_CROP = 2    # shorter-side resize + center crop (HF geometry)
 
+#: Resample filters (must match cfa_host.cc).
+FILTER_BOX = 0          # area average (fastest)
+FILTER_BICUBIC = 1      # PIL-compatible antialiased bicubic (parity-safe)
+
 
 def assemble_batch(paths: Sequence[str], size: int,
                    pad_to_square: bool = False,
                    threads: Optional[int] = None,
-                   mode: Optional[int] = None) -> Optional[np.ndarray]:
+                   mode: Optional[int] = None,
+                   filter: int = FILTER_BICUBIC) -> Optional[np.ndarray]:
     """Decode+pad+resize N images into one [N, S, S, 3] uint8 batch.
 
     ``mode`` (see MODE_*) picks the geometry; default is MODE_PAD_SQUARE
     when ``pad_to_square`` else MODE_CENTER_CROP — the two reference
     loader geometries (count_dataloader.py:12-24 white pad;
-    synthetic_dataloader.py:69-76 HF shorter-side + center crop). Returns
+    synthetic_dataloader.py:69-76 HF shorter-side + center crop).
+    ``filter`` picks the resample kernel; the default FILTER_BICUBIC
+    reproduces the PIL/HF path to ≤1 LSB (tests/test_native.py), so the
+    native fast path no longer changes training-data numerics. Returns
     None when the native library is unavailable (callers fall back to
-    PIL); failed samples decode to zeros and are warn-logged here with
-    their paths (a corrupt file must not silently train as a black
-    image)."""
+    PIL). Failed samples zero-fill their row and are warn-logged with
+    their exact paths (the C layer reports a per-sample failure mask — a
+    corrupt file must not silently train as a black image)."""
     lib = _load()
     if lib is None:
         return None
@@ -167,13 +183,13 @@ def assemble_batch(paths: Sequence[str], size: int,
         mode = MODE_PAD_SQUARE if pad_to_square else MODE_CENTER_CROP
     n = len(paths)
     out = np.empty((n, size, size, 3), np.uint8)
+    failed = np.zeros(n, np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     nt = threads if threads is not None else min(8, os.cpu_count() or 1)
-    failures = lib.cfa_assemble_batch_v2(arr, n, size, mode, _u8ptr(out),
-                                         nt)
+    failures = lib.cfa_assemble_batch_v3(arr, n, size, mode, filter,
+                                         _u8ptr(out), _u8ptr(failed), nt)
     if failures:
-        bad = [paths[i] for i in range(n)
-               if not out[i].any()][:failures]
+        bad = [paths[i] for i in np.nonzero(failed)[0]]
         logging.getLogger(__name__).warning(
             "native assembler: %d/%d images failed to decode "
             "(zero-filled): %s", failures, n, bad[:5])
@@ -204,4 +220,19 @@ def resize_box(src: np.ndarray, size: int) -> Optional[np.ndarray]:
     out = np.empty((size, size, 3), np.uint8)
     lib.cfa_resize_box_u8(_u8ptr(src), src.shape[0], src.shape[1],
                           _u8ptr(out), size, size)
+    return out
+
+
+def resize_bicubic(src: np.ndarray, height: int,
+                   width: int) -> Optional[np.ndarray]:
+    """PIL-compatible antialiased bicubic resize (Catmull-Rom a=-0.5,
+    horizontal-then-vertical with uint8 intermediate, like PIL's
+    ImagingResample)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src)
+    out = np.empty((height, width, 3), np.uint8)
+    lib.cfa_resize_bicubic_u8(_u8ptr(src), src.shape[0], src.shape[1],
+                              _u8ptr(out), height, width)
     return out

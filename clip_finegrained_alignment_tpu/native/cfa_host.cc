@@ -159,6 +159,116 @@ void cfa_resize_box_u8(const uint8_t* src, int sh, int sw,
   }
 }
 
+// PIL-compatible antialiased bicubic (Catmull-Rom, a = -0.5) resize.
+// Mirrors PIL's ImagingResample structure: per-axis kernel support scaled
+// by the downscale factor (antialiasing), separable two-pass with the
+// horizontal pass first and a rounded uint8 intermediate — so the output
+// matches PIL.Image.BICUBIC to within coefficient-quantization noise
+// (PIL quantizes weights to int16; we keep float64 — measured max |Δ| ≤ 1
+// LSB on photographic inputs, pinned by tests/test_native.py).
+static double bicubic_kernel(double x) {
+  const double a = -0.5;
+  if (x < 0.0) x = -x;
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+// Precompute normalized filter weights for one axis (PIL's
+// precompute_coeffs): returns per-output-pixel (xmin, count) bounds and a
+// [out_size, ksize] weight table.
+static void bicubic_coeffs(int in_size, int out_size,
+                           std::vector<int>& bounds,
+                           std::vector<double>& weights, int* ksize_out) {
+  const double scale = double(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 2.0 * filterscale;  // bicubic support = 2
+  const int ksize = int(std::ceil(support)) * 2 + 1;
+  bounds.resize(size_t(out_size) * 2);
+  weights.assign(size_t(out_size) * ksize, 0.0);
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = int(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = int(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double* k = &weights[size_t(xx) * ksize];
+    double ww = 0.0;
+    for (int x = 0; x < xmax; ++x) {
+      const double w = bicubic_kernel((x + xmin - center + 0.5)
+                                      / filterscale);
+      k[x] = w;
+      ww += w;
+    }
+    if (ww != 0.0) {
+      for (int x = 0; x < xmax; ++x) k[x] /= ww;
+    }
+    bounds[size_t(xx) * 2] = xmin;
+    bounds[size_t(xx) * 2 + 1] = xmax;
+  }
+  *ksize_out = ksize;
+}
+
+static inline uint8_t clip_round_u8(double v) {
+  const double r = v + 0.5;
+  if (r <= 0.0) return 0;
+  if (r >= 255.0) return 255;
+  return uint8_t(r);
+}
+
+void cfa_resize_bicubic_u8(const uint8_t* src, int sh, int sw,
+                           uint8_t* dst, int dh, int dw) {
+  // Horizontal pass: [sh, sw] -> [sh, dw] (uint8 intermediate, like PIL).
+  std::vector<int> hb;
+  std::vector<double> hw;
+  int hks;
+  bicubic_coeffs(sw, dw, hb, hw, &hks);
+  std::vector<uint8_t> tmp(size_t(sh) * dw * 3);
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* srow = src + size_t(y) * sw * 3;
+    uint8_t* trow = tmp.data() + size_t(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const int xmin = hb[size_t(x) * 2], xmax = hb[size_t(x) * 2 + 1];
+      const double* k = &hw[size_t(x) * hks];
+      double acc[3] = {0.0, 0.0, 0.0};
+      const uint8_t* p = srow + size_t(xmin) * 3;
+      for (int i = 0; i < xmax; ++i, p += 3) {
+        acc[0] += k[i] * p[0];
+        acc[1] += k[i] * p[1];
+        acc[2] += k[i] * p[2];
+      }
+      uint8_t* o = trow + size_t(x) * 3;
+      o[0] = clip_round_u8(acc[0]);
+      o[1] = clip_round_u8(acc[1]);
+      o[2] = clip_round_u8(acc[2]);
+    }
+  }
+  // Vertical pass: [sh, dw] -> [dh, dw].
+  std::vector<int> vb;
+  std::vector<double> vw;
+  int vks;
+  bicubic_coeffs(sh, dh, vb, vw, &vks);
+  for (int y = 0; y < dh; ++y) {
+    const int ymin = vb[size_t(y) * 2], ymax = vb[size_t(y) * 2 + 1];
+    const double* k = &vw[size_t(y) * vks];
+    uint8_t* drow = dst + size_t(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      double acc[3] = {0.0, 0.0, 0.0};
+      for (int i = 0; i < ymax; ++i) {
+        const uint8_t* p = tmp.data() + (size_t(ymin + i) * dw + x) * 3;
+        acc[0] += k[i] * p[0];
+        acc[1] += k[i] * p[1];
+        acc[2] += k[i] * p[2];
+      }
+      uint8_t* o = drow + size_t(x) * 3;
+      o[0] = clip_round_u8(acc[0]);
+      o[1] = clip_round_u8(acc[1]);
+      o[2] = clip_round_u8(acc[2]);
+    }
+  }
+}
+
 // Pad to square with a constant fill (the counterfactual loader's white
 // pad, count_dataloader.py:12-24). dst must hold side*side*3 where
 // side = max(h, w).
@@ -216,17 +326,25 @@ static int py_round(double x) {
 }
 
 // Geometry modes for the batch assembler.
-//   0: direct box resize to [size, size] (aspect squash; legacy)
-//   1: pad to square (white) first, then box resize — the counterfactual
+//   0: direct resize to [size, size] (aspect squash; legacy)
+//   1: pad to square (white) first, then resize — the counterfactual
 //      loader's transform (count_dataloader.py:12-24)
 //   2: resize shorter side to `size`, then center crop — the HF-processor
 //      geometry (synthetic_dataloader.py:69-76); same crop window as
-//      data/preprocess.py::resize_center_crop (filter is box vs PIL
-//      bicubic — pixel inclusion identical, kernel differs)
-int cfa_assemble_batch_v2(const char** paths, int n, int size, int mode,
-                          uint8_t* out, int num_threads) {
+//      data/preprocess.py::resize_center_crop
+// Filters:
+//   0: box (area average) — fastest, legacy default
+//   1: PIL-compatible antialiased bicubic — matches the PIL/HF reference
+//      path to ≤1 LSB, the parity-safe default
+// `failed`: optional [n] uint8 out-mask, 1 = decode failure (that row of
+// `out` is zero-filled). Returns the failure count.
+int cfa_assemble_batch_v3(const char** paths, int n, int size, int mode,
+                          int filter, uint8_t* out, uint8_t* failed,
+                          int num_threads) {
   std::atomic<int> next(0), failures(0);
   const size_t stride = size_t(size) * size * 3;
+  if (failed) memset(failed, 0, size_t(n));
+  auto resize = (filter == 1) ? cfa_resize_bicubic_u8 : cfa_resize_box_u8;
   auto worker = [&]() {
     std::vector<uint8_t> scratch;
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
@@ -234,6 +352,7 @@ int cfa_assemble_batch_v2(const char** paths, int n, int size, int mode,
       int w = 0, h = 0;
       if (cfa_decode_image(paths[i], &decoded, &w, &h) != 0) {
         memset(out + size_t(i) * stride, 0, stride);
+        if (failed) failed[i] = 1;
         failures.fetch_add(1);
         continue;
       }
@@ -255,7 +374,7 @@ int cfa_assemble_batch_v2(const char** paths, int n, int size, int mode,
         const int nh = std::max(size, py_round(sh * scale));
         const int nw = std::max(size, py_round(sw * scale));
         std::vector<uint8_t> resized(size_t(nh) * nw * 3);
-        cfa_resize_box_u8(src, sh, sw, resized.data(), nh, nw);
+        resize(src, sh, sw, resized.data(), nh, nw);
         const int top = (nh - size) / 2, left = (nw - size) / 2;
         for (int y = 0; y < size; ++y) {
           memcpy(dst + size_t(y) * size * 3,
@@ -263,7 +382,7 @@ int cfa_assemble_batch_v2(const char** paths, int n, int size, int mode,
                  size_t(size) * 3);
         }
       } else {
-        cfa_resize_box_u8(src, sh, sw, dst, size, size);
+        resize(src, sh, sw, dst, size, size);
       }
       free(decoded);
     }
@@ -276,11 +395,17 @@ int cfa_assemble_batch_v2(const char** paths, int n, int size, int mode,
   return failures.load();
 }
 
-// Back-compat wrapper (mode 0/1 only).
+// Back-compat wrappers.
+int cfa_assemble_batch_v2(const char** paths, int n, int size, int mode,
+                          uint8_t* out, int num_threads) {
+  return cfa_assemble_batch_v3(paths, n, size, mode, /*filter=*/0, out,
+                               nullptr, num_threads);
+}
+
 int cfa_assemble_batch(const char** paths, int n, int size,
                        int pad_to_square, uint8_t* out, int num_threads) {
-  return cfa_assemble_batch_v2(paths, n, size, pad_to_square ? 1 : 0, out,
-                               num_threads);
+  return cfa_assemble_batch_v3(paths, n, size, pad_to_square ? 1 : 0,
+                               /*filter=*/0, out, nullptr, num_threads);
 }
 
 }  // extern "C"

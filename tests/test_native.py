@@ -162,3 +162,58 @@ def test_assemble_center_crop_tall_image(tmp_path):
     Image.fromarray(img).save(p)
     crop = native.assemble_batch([p], 64, mode=native.MODE_CENTER_CROP)[0]
     assert (crop[:, :, 0] > 200).all() and (crop[:, :, 2] < 50).all()
+
+
+def test_bicubic_matches_pil(rng):
+    """The native antialiased bicubic must reproduce PIL.Image.BICUBIC
+    (the HF/torchvision reference kernel) to <=1 LSB — PIL quantizes
+    filter weights to int16, we keep float64; everything else (kernel,
+    support scaling, pass order, uint8 intermediate) is identical."""
+    for (sh, sw), (dh, dw) in [((300, 500), (224, 224)),   # downscale
+                               ((97, 61), (224, 224)),     # upscale
+                               ((224, 224), (67, 131))]:   # asymmetric
+        img = rng.integers(0, 256, size=(sh, sw, 3), dtype=np.uint8)
+        ours = native.resize_bicubic(img, dh, dw)
+        pil = np.asarray(Image.fromarray(img).resize((dw, dh),
+                                                     Image.BICUBIC))
+        diff = np.abs(ours.astype(int) - pil.astype(int)).max()
+        assert diff <= 1, (sh, sw, dh, dw, diff)
+
+
+def test_assemble_bicubic_matches_pil_center_crop(tmp_path, rng):
+    """Default-filter assemble_batch (bicubic) == the PIL loader path
+    (resize_center_crop) to <=1 LSB on non-square photographic inputs —
+    the 'use_native changes data numerics' gap is closed."""
+    from clip_finegrained_alignment_tpu.data.preprocess import (
+        resize_center_crop)
+    paths, refs = [], []
+    for i, (h, w) in enumerate([(300, 460), (461, 333)]):
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        p = str(tmp_path / f"p{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+        refs.append(resize_center_crop(img, 224))
+    out = native.assemble_batch(paths, 224, mode=native.MODE_CENTER_CROP)
+    for o, r in zip(out, refs):
+        assert np.abs(o.astype(int) - r.astype(int)).max() <= 1
+    # box filter stays available for speed
+    out_box = native.assemble_batch(paths, 224,
+                                    mode=native.MODE_CENTER_CROP,
+                                    filter=native.FILTER_BOX)
+    assert not np.array_equal(out, out_box)
+
+
+def test_failed_mask_reports_exact_paths(tmp_path, caplog):
+    """Decode failures are reported from the C layer's per-sample mask —
+    an all-black (legitimately zero) image must NOT be flagged (advisor
+    finding: inferring failures from zero rows misreports black images)."""
+    import logging as _logging
+    black = str(tmp_path / "black.png")
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(black)
+    missing = str(tmp_path / "missing.png")
+    with caplog.at_level(_logging.WARNING,
+                         logger="clip_finegrained_alignment_tpu.native"):
+        out = native.assemble_batch([black, missing], 16)
+    assert (out == 0).all()
+    joined = " ".join(r.message for r in caplog.records)
+    assert "missing.png" in joined and "black.png" not in joined

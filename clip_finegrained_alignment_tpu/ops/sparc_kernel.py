@@ -112,6 +112,14 @@ def _sparc_bwd_kernel(v_ref, l_ref, mask_ref, g_ref, dv_ref, dl_ref, *,
       * min/max reductions split their cotangent evenly among ties,
       * ``where(z < τ)`` passes no gradient below threshold,
       * ``clip(Σt, EPS)`` gates the denominator term.
+
+    Tie-point convention: the eps gates here are strict inequalities
+    (``denom_raw > _EPS``, ``v_sq > NEPS``), whereas ``jax.vjp`` of the
+    XLA chain's ``jnp.maximum``/``jnp.clip`` splits the cotangent 50/50
+    at an *exact* tie (x == eps). The subgradients differ only on that
+    measure-zero boundary — inputs whose row-sum lands exactly on the
+    eps never occur in training data, and everywhere else the VJP
+    matches the chain term-for-term (pinned by tests/test_ops.py).
     """
     NEPS = jnp.float32(1e-12 * 1e-12)  # l2_normalize eps²
     v = v_ref[0].astype(jnp.float32)                      # [Pp, D]

@@ -234,11 +234,53 @@ def _xla_attention(q, k, v, bias, scale):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+# Attention memory layout (CFA_ATTN_LAYOUT, read at trace time; default
+# "bshd"). Motivation: the B/32 trace shows the [B, H, S, Dh] head
+# split/merge as {0,3,1,2}→{3,2,1,0} relayout copies at ~34 GB/s — 32 ms
+# of a 217 ms step (perf/TRACE_ANALYSIS.md). "bshd" phrases the
+# score/weighted-sum einsums directly on the [B, S, H, Dh] projection
+# output (split/merge become free reshapes). Measured (perf/sweep_r3a.log):
+# B/32 par (2355.3 vs 2355.5 pairs/s — XLA's layout assignment materializes
+# the head-major relayout for the (b, h)-batched gemms either way), B/16
+# +1.1% (1012.1 vs 1001.2). Par-or-better on both ⇒ default. "bhsd" keeps
+# the torch-style explicit transposes (what the Pallas kernel path always
+# uses internally). Forward math is bit-identical either way (CPU-checked;
+# grads differ at fp32 rounding).
+def _attn_layout() -> str:
+    return os.environ.get("CFA_ATTN_LAYOUT", "bshd")
+
+
+def _xla_attention_bshd(q, k, v, bias, scale):
+    """Transpose-free attention: q,k,v [B, S, H, Dh] straight from the
+    projection reshape; returns [B, Sq, H, Dh]."""
+    acc = jnp.float32 if (_fp32_probs() or q.dtype == jnp.float32) \
+        else q.dtype
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                        preferred_element_type=acc)
+    if bias is not None:
+        logits = logits + bias.astype(acc)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
 def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False):
     """Multi-head self-attention with HF CLIP parameterization."""
     B, S, D = x.shape
     head_dim = D // num_heads
     scale = head_dim ** -0.5
+
+    if _attn_layout() == "bshd":
+        def heads(y):
+            return y.reshape(B, S, num_heads, head_dim)
+        q = heads(linear(layer_p["q"], x, dtype))
+        k = heads(linear(layer_p["k"], x, dtype))
+        v = heads(linear(layer_p["v"], x, dtype))
+        if use_pallas:
+            from ..ops.attention import flash_attention
+            out = flash_attention(q, k, v, bias, scale, layout="bshd")
+        else:
+            out = _xla_attention_bshd(q, k, v, bias, scale)
+        return linear(layer_p["out"], out.reshape(B, S, D), dtype)
 
     def split_heads(y):
         return y.reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)

@@ -25,15 +25,16 @@ def main():
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    accum = 8
-    model_cfg = CLIPConfig.vit_b16()
+    accum = int(os.environ.get("BENCH_ACCUM", "8"))
+    model_name = os.environ.get("BENCH_MODEL", "ViT-B/16")
+    model_cfg = CLIPConfig.from_name(model_name)
     # Same env knobs as bench.py, same defaults (the production regime).
     unstack = os.environ.get("BENCH_UNSTACK", "1") == "1"
     remat = {"0": False, "1": True,
              "dots": "dots"}[os.environ.get("BENCH_REMAT", "0")]
     unroll = int(os.environ.get("BENCH_UNROLL", "12"))
     cfg = TrainConfig(
-        clip_model="ViT-B/16", loss_type="sparc", optimizer_type="adamspd",
+        clip_model=model_name, loss_type="sparc", optimizer_type="adamspd",
         inverse_temperature=0.07, batch_size=batch_size,
         gradient_accumulation_steps=accum, use_amp=True,
         remat=remat, unroll_layers=unroll, unstack_layers=unstack)

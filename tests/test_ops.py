@@ -315,3 +315,59 @@ def test_fused_sparc_tiny_norm_rows(rng):
     for a, b in zip(vjp_f(g), vjp_r(g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# bshd-layout fused attention (in-kernel head transpose)
+# ---------------------------------------------------------------------------
+
+def test_attention_bshd_layout_matches_bhsd(rng):
+    """layout="bshd" ([B, S, H, D] operands, head reorder in VMEM) must
+    reproduce the bhsd kernel exactly — fwd and grads — including padded
+    sequences (S=19 pads to 24)."""
+    B, H, S, D = 2, 4, 19, 16
+    q, k, v = make_qkv(rng, B, H, S, D)
+    pad = np.zeros((B, S), np.float32)
+    pad[1, 15:] = -1e9
+    bias = jnp.asarray(pad)[:, None, None, :]
+    scale = D ** -0.5
+
+    qs, ks, vs = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    ours = flash_attention(qs, ks, vs, bias, scale, layout="bshd")
+    ref = flash_attention(q, k, v, bias, scale)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(ours, 1, 2)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def loss_bshd(q, k, v):
+        return (flash_attention(q, k, v, bias, scale,
+                                layout="bshd") ** 2).sum()
+
+    def loss_bhsd(q, k, v):
+        return (flash_attention(q, k, v, bias, scale) ** 2).sum()
+
+    g_ours = jax.grad(loss_bshd, argnums=(0, 1, 2))(qs, ks, vs)
+    g_ref = jax.grad(loss_bhsd, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(jnp.swapaxes(a, 1, 2)),
+                                   np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_model_attention_pallas_bshd_path(rng, monkeypatch):
+    """models.clip.attention with use_pallas under CFA_ATTN_LAYOUT=bshd
+    routes through the bshd kernel and matches the XLA path."""
+    from clip_finegrained_alignment_tpu.models import clip as m
+
+    B, S, D, H = 2, 9, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    p = {kk: {"kernel": jnp.asarray(rng.normal(size=(D, D)),
+                                    jnp.float32) * 0.1,
+              "bias": jnp.asarray(rng.normal(size=(D,)),
+                                  jnp.float32) * 0.1}
+         for kk in ("q", "k", "v", "out")}
+    bias = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)[None, None]
+
+    monkeypatch.setenv("CFA_ATTN_LAYOUT", "bshd")
+    got = m.attention(p, x, bias, H, dtype=jnp.float32, use_pallas=True)
+    want = m.attention(p, x, bias, H, dtype=jnp.float32, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

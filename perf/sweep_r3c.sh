@@ -10,3 +10,5 @@ run() { echo "=== $* ===" >> $LOG; env "$@" python bench.py $BS $STEPS >> $LOG 2
 STEPS=30
 BS=128; run BENCH_MODEL=ViT-B/32 BENCH_ACCUM=4 BENCH_PALLAS=1 BENCH_FUSED_SPARC=0
 echo DONE >> $LOG
+# Re-run appended: the first measurement overlapped a concurrent CPU
+# pytest run (tunnel-starvation hazard, CLAUDE.md); re-measure idle.

@@ -19,8 +19,18 @@ Numerically validated against the XLA reference path (fwd + grads) in
 ``tests/test_ops.py`` (interpret mode) and natively on a v5e chip at
 S=512 (fwd max-err 2.6e-3, dq max-rel-err 0.8% — the expected noise of
 the MXU's bf16-pass fp32 matmul decomposition, present in both paths).
-Intended for sequences past ``BLOCKWISE_THRESHOLD`` where the whole-tile
-kernel's [S, S] VMEM residency stops fitting.
+
+**Measured verdict at the design points** (v5e, bf16, [B, 12, S, 64],
+``perf/flash_microbench.log``, round 3): the XLA path wins at every
+tested length — fwd+bwd 4.0 vs 5.2 ms (S=1024, B=8), 6.6 vs 8.4 ms
+(S=2048, B=4), 8.4 vs 8.7 ms (S=4096, B=1) — though the gap narrows
+with S (recompute cost amortizes as the [S, S] HBM traffic grows).
+With v5e's 16 GB HBM comfortably holding the stored-probs backward at
+these shapes, flash-style recompute buys nothing; the crossover lies
+beyond S≈4-8k or wherever activation memory forces remat. This module
+is therefore **correctness-tested long-context insurance** (the
+sequence-scalable kernel SURVEY.md §5 calls for), not a production
+fast path on current CLIP shapes.
 """
 
 from __future__ import annotations

@@ -64,3 +64,20 @@ def test_debug_nans_context():
             _ = jnp.log(jnp.asarray(-1.0)) + 1
     # restored
     _ = jnp.log(jnp.asarray(-1.0)) + 1
+
+
+def test_trace_report_classify():
+    """perf/trace_report.py collapses HLO op names to fusion-class stems."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "trace_report", os.path.join(os.path.dirname(__file__), "..",
+                                     "perf", "trace_report.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.classify("fusion.123") == "fusion"
+    assert mod.classify("%convolution_add_fusion.5") == \
+        "convolution_add_fusion"
+    assert mod.classify("copy-done.77") == "copy-done"
+    assert mod.classify("while") == "while"
+    assert mod.classify("jit_train_step (args)") == "jit_train_step"

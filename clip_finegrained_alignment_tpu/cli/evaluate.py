@@ -160,6 +160,7 @@ def main(argv=None) -> None:
             else ProceduralObjectSource()
         ev = CropDetectionEvaluator(
             params, model_cfg, tokenizer=tokenizer,
+            batch_size=args.batch_size,
             use_pallas=args.pallas, use_white_square=args.white_square)
         results = ev.run_evaluation(source, num_samples=args.samples,
                                     debug_dir=args.debug_dir)

@@ -202,22 +202,7 @@ class CropDetectionEvaluator:
         images = [image, image, crop05, crop05, crop10, crop10]
         names = [true_name, false_name] * 3
         probs = self._score_pairs(images, names)
-
-        out = {}
-        for i, cond in enumerate(CONDITIONS):
-            pos, neg = float(probs[i, 0]), float(probs[i, 1])
-            is_negative_control = cond.endswith("negative")
-            out[cond] = {
-                "object_name": names[i],
-                "positive_score": pos,
-                "negative_score": neg,
-                # reversed rule for the negative control
-                # (crop_eval.py:203-207)
-                "correct": (neg > pos) if is_negative_control
-                else (pos > neg),
-                "ground_truth": "negative" if is_negative_control
-                else "positive",
-            }
+        out = self._conditions_from_probs(probs, names)
 
         if debug_dir is not None:
             from .viz import save_image_with_bbox
@@ -236,28 +221,101 @@ class CropDetectionEvaluator:
                           f"{r['negative_score']:.2f})")
         return out
 
+    def _conditions_from_probs(self, probs: np.ndarray,
+                               names: List[str]) -> Dict[str, Dict]:
+        """probs [6, 2] + per-condition names → the result dict."""
+        out = {}
+        for i, cond in enumerate(CONDITIONS):
+            pos, neg = float(probs[i, 0]), float(probs[i, 1])
+            is_negative_control = cond.endswith("negative")
+            out[cond] = {
+                "object_name": names[i],
+                "positive_score": pos,
+                "negative_score": neg,
+                # reversed rule for the negative control
+                # (crop_eval.py:203-207)
+                "correct": (neg > pos) if is_negative_control
+                else (pos > neg),
+                "ground_truth": "negative" if is_negative_control
+                else "positive",
+            }
+        return out
+
     def run_evaluation(self, source, num_samples: int = 100,
                        debug_dir: Optional[str] = None) -> Dict:
         """crop_eval.py:240-264 + aggregation :266-289. ``debug_dir``
         enables per-sample bbox-overlay dumps into
         ``<debug_dir>/<index>_<category>/`` (reference save-dir scheme,
-        crop_eval.py:179-180)."""
-        all_results = []
-        while len(all_results) < num_samples:
-            try:
-                image, bbox, true_name, false_name = source.sample()
-                sample_dir = None
-                if debug_dir is not None:
+        crop_eval.py:179-180).
+
+        TPU redesign (round 3): samples flush through the scorer in
+        chunks of ``max(1, batch_size // 6)`` samples — one fixed-shape
+        [6·chunk, 2] forward per chunk instead of one per sample (the
+        500-sample protocol drops from 500 device dispatches to ~30 at
+        batch_size=96; the last partial chunk pads by repetition and the
+        padded rows are discarded). The serial per-sample path is kept
+        for ``debug_dir`` runs, which need crop-local geometry anyway.
+        """
+        if debug_dir is not None:
+            all_results = []
+            while len(all_results) < num_samples:
+                try:
+                    image, bbox, true_name, false_name = source.sample()
                     sample_dir = os.path.join(
                         debug_dir,
-                        f"{len(all_results)}_{true_name.replace(' ', '_')}")
-                r = self.evaluate_sample(image, bbox, true_name, false_name,
-                                         debug_dir=sample_dir)
-                r["category"] = true_name
+                        f"{len(all_results)}_"
+                        f"{true_name.replace(' ', '_')}")
+                    r = self.evaluate_sample(image, bbox, true_name,
+                                             false_name,
+                                             debug_dir=sample_dir)
+                    r["category"] = true_name
+                    all_results.append(r)
+                except Exception as e:
+                    logger.warning("sample failed: %s", e)
+            return {"individual_results": all_results,
+                    "aggregate_stats": self.aggregate(all_results)}
+
+        chunk = max(1, self.batch_size // 6)
+        all_results: List[Dict] = []
+        pending: List[Tuple[List[np.ndarray], List[str], str]] = []
+
+        def flush():
+            n = len(pending)
+            if n == 0:
+                return
+            images, names = [], []
+            for imgs, nms, _ in pending:
+                images.extend(imgs)
+                names.extend(nms)
+            # Fixed-shape flush: pad to the full chunk by repeating the
+            # first sample; padded rows are sliced off below.
+            for _ in range(chunk - n):
+                images.extend(pending[0][0])
+                names.extend(pending[0][1])
+            probs = self._score_pairs(images, names)   # [6*chunk, 2]
+            for j, (_, nms, category) in enumerate(pending):
+                r = self._conditions_from_probs(
+                    probs[6 * j:6 * (j + 1)], nms)
+                r["category"] = category
                 all_results.append(r)
+            pending.clear()
+
+        while len(all_results) + len(pending) < num_samples:
+            try:
+                image, bbox, true_name, false_name = source.sample()
+                if self.use_white_square:
+                    image, bbox = white_square_image(), [50, 50, 50, 50]
+                crop05, _ = crop_to_target_ratio(image, bbox, 0.05)
+                crop10, _ = crop_to_target_ratio(image, bbox, 0.10)
+                pending.append((
+                    [image, image, crop05, crop05, crop10, crop10],
+                    [true_name, false_name] * 3, true_name))
             except Exception as e:
                 logger.warning("sample failed: %s", e)
                 continue
+            if len(pending) == chunk:
+                flush()
+        flush()
         return {"individual_results": all_results,
                 "aggregate_stats": self.aggregate(all_results)}
 

@@ -248,3 +248,24 @@ def test_crop_detection_debug_dir(params, tmp_path):
                          "crop_10_positive.png"}
         for f in files:
             assert os.path.getsize(os.path.join(dbg, d, f)) > 0
+
+
+def test_crop_detection_batched_equals_serial(params):
+    """The chunked scorer path (round 3: one [6*chunk, 2] forward per
+    chunk) must produce the same per-sample results as the serial
+    per-sample path, including the padded last partial chunk."""
+    ev = CropDetectionEvaluator(params, CFG, tokenizer=TOK, batch_size=12)
+    # 3 samples with chunk=2 -> one full flush + one padded flush.
+    out_b = ev.run_evaluation(ProceduralObjectSource(image_size=256,
+                                                     seed=7),
+                              num_samples=3)
+    serial_src = ProceduralObjectSource(image_size=256, seed=7)
+    for rb in out_b["individual_results"]:
+        image, bbox, tn, fn = serial_src.sample()
+        rs = ev.evaluate_sample(image, bbox, tn, fn)
+        assert rb["category"] == tn
+        for cond in rs:
+            np.testing.assert_allclose(
+                rb[cond]["positive_score"], rs[cond]["positive_score"],
+                rtol=2e-5, atol=2e-6)
+            assert rb[cond]["correct"] == rs[cond]["correct"]

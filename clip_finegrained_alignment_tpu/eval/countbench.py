@@ -135,7 +135,7 @@ class CountBenchEvaluator:
         self.scorer = TemplateScorer(
             params, model_cfg,
             dtype=dtype if dtype is not None else jnp.float32,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, pad_to_batch=batch_size)
         self._rng = random.Random(seed)
 
     # ------------------------------------------------------------------

@@ -35,9 +35,16 @@ class TemplateScorer:
     """Jitted image×templates probability scorer."""
 
     def __init__(self, params, cfg: CLIPConfig, *, dtype=jnp.float32,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False,
+                 pad_to_batch: Optional[int] = None):
         self.params = params
         self.cfg = cfg
+        # A dataset's final partial batch would otherwise trace a second
+        # program shape (~6 min on the remote-compile TPU path). With
+        # pad_to_batch set, short batches pad with masked slots (uniform
+        # probs over NEG logits, sliced off) and reuse the one compiled
+        # shape.
+        self.pad_to_batch = pad_to_batch
 
         @jax.jit
         def score(params, pixel_values, template_ids, template_mask):
@@ -60,9 +67,24 @@ class TemplateScorer:
 
     def __call__(self, pixel_values: np.ndarray, template_ids: np.ndarray,
                  template_mask: np.ndarray) -> np.ndarray:
+        B = pixel_values.shape[0]
+        P = self.pad_to_batch
+        if P is not None and B < P:
+            pixel_values = np.concatenate(
+                [pixel_values,
+                 np.zeros((P - B,) + pixel_values.shape[1:],
+                          pixel_values.dtype)])
+            template_ids = np.concatenate(
+                [template_ids,
+                 np.zeros((P - B,) + template_ids.shape[1:],
+                          template_ids.dtype)])
+            template_mask = np.concatenate(
+                [template_mask,
+                 np.zeros((P - B,) + template_mask.shape[1:],
+                          template_mask.dtype)])
         return np.asarray(self._score(
             self.params, jnp.asarray(pixel_values),
-            jnp.asarray(template_ids), jnp.asarray(template_mask)))
+            jnp.asarray(template_ids), jnp.asarray(template_mask)))[:B]
 
 
 

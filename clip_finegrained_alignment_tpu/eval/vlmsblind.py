@@ -197,7 +197,7 @@ class VLMsBlindEvaluator:
         self.scorer = TemplateScorer(
             params, model_cfg,
             dtype=dtype if dtype is not None else jnp.float32,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, pad_to_batch=batch_size)
 
     def evaluate_task(self, samples: Sequence[Dict],
                       task: str) -> Dict[str, list]:

@@ -103,6 +103,33 @@ def test_countbench_evaluator_runs(params, rng, tmp_path):
     assert os.path.exists(tmp_path / "countbench_metrics.json")
 
 
+def test_template_scorer_pad_to_batch(params, rng):
+    """The final partial flush pads to the fixed batch shape so it reuses
+    the one compiled program (no second ~6-min TPU trace), and the padded
+    rows change nothing."""
+    from clip_finegrained_alignment_tpu.eval import TemplateScorer
+    px = np.stack([rand_image(rng, CFG.vision.image_size)
+                   for _ in range(3)]).astype(np.float32) / 255.0
+    T = CFG.text.max_position_embeddings
+    ids = rng.integers(1, CFG.text.vocab_size, size=(3, 5, T)).astype(np.int32)
+    mask = np.ones((3, 5), np.float32)
+    mask[0, 4] = 0.0
+    plain = TemplateScorer(params, CFG)
+    padded = TemplateScorer(params, CFG, pad_to_batch=8)
+    p_ref = plain(px, ids, mask)
+    p_pad = padded(px, ids, mask)
+    assert p_pad.shape == (3, 5)
+    np.testing.assert_allclose(p_pad, p_ref, rtol=1e-6, atol=1e-6)
+    # full batch (B == pad_to_batch) and partial batch share one trace
+    px8 = np.concatenate([px, px, px[:2]])
+    ids8 = np.concatenate([ids, ids, ids[:2]])
+    mask8 = np.concatenate([mask, mask, mask[:2]])
+    padded(px8, ids8, mask8)
+    cache_size = getattr(padded._score, "_cache_size", None)
+    if cache_size is not None:
+        assert cache_size() == 1
+
+
 def test_countbench_random_arrangement_consistency(params, rng):
     """Random template arrangement must not change which slot is marked
     positive vs which template it holds."""

@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="contrastive loss over the global batch "
                         "(all-gather over ICI) instead of DDP-parity "
                         "local negatives")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer state (AdamSPD mu/nu/anchors) "
+                        "over the data axis, ZeRO-1 style — ~1/n_devices "
+                        "optimizer memory per chip, identical math")
     p.add_argument("--pretrained", default=None,
                    help="HF model name or reference .pt checkpoint to "
                         "initialize from (default: random init when "
@@ -125,7 +129,7 @@ def main(argv=None) -> None:
         unroll_layers=args.unroll_layers, unroll_accum=args.unroll_accum,
         unstack_layers=args.unstack_layers,
         remat={"0": False, "1": True, "dots": "dots"}[args.remat],
-        global_negatives=args.global_negatives,
+        global_negatives=args.global_negatives, zero1=args.zero1,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
         mesh=MeshConfig(data=jax.device_count(), model=1))
     if cfg.batch_size % cfg.mesh.data != 0:

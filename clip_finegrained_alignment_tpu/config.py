@@ -227,6 +227,12 @@ class TrainConfig:
                                           # data axis for the contrastive loss
                                           # (upgrade over reference local-only
                                           # negatives, SURVEY.md §5)
+    zero1: bool = False                   # shard optimizer state (mu/nu/
+                                          # anchors) over the data axis,
+                                          # ZeRO-1 style: per-chip AdamSPD
+                                          # state drops ~1/dp; XLA re-gathers
+                                          # updated params over ICI. Identical
+                                          # math (parallel/sharding_rules.py)
     checkpoint_dir: str = "checkpoints"
     log_every: int = 10
 

@@ -172,11 +172,14 @@ def _accumulated_grads(params, batch: Batch, cfg: TrainConfig,
 
 def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
                     optimizer: optax.GradientTransformation,
-                    mesh: Optional[Mesh] = None) -> Callable:
+                    mesh: Optional[Mesh] = None,
+                    opt_shardings=None) -> Callable:
     """Build the jitted ``train_step(params, opt_state, batch)``.
 
     ``batch`` leaves are [accum, B, ...] where B is the **global** batch; on a
-    mesh, B is sharded over the ``data`` axis.
+    mesh, B is sharded over the ``data`` axis. ``opt_shardings``: optional
+    NamedSharding pytree for the optimizer state (the ZeRO-1 layout,
+    ``parallel/sharding_rules.py::zero1_opt_shardings``); None = replicated.
     """
     dtype = compute_dtype(cfg)
 
@@ -235,14 +238,19 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
             # TP: params/opt_state keep whatever (Megatron-style) layout
             # the caller placed them with (parallel/sharding_rules.py);
             # in_shardings=None ⇒ follow the argument placements and let
-            # the partitioner insert the ICI collectives.
+            # the partitioner insert the ICI collectives. With ZeRO-1 the
+            # opt-state layout is pinned explicitly so donation can't
+            # silently re-replicate it.
             return jax.jit(train_step,
-                           in_shardings=(None, None, bsh),
+                           in_shardings=(None, opt_shardings, bsh),
+                           out_shardings=(None, opt_shardings, None)
+                           if opt_shardings is not None else None,
                            donate_argnums=(0, 1))
         repl = pmesh.replicated(mesh)
+        osh = opt_shardings if opt_shardings is not None else repl
         return jax.jit(train_step,
-                       in_shardings=(repl, repl, bsh),
-                       out_shardings=(repl, repl, repl),
+                       in_shardings=(repl, osh, bsh),
+                       out_shardings=(repl, osh, repl),
                        donate_argnums=(0, 1))
     return jax.jit(train_step, donate_argnums=(0, 1))
 
@@ -305,8 +313,20 @@ class Trainer:
         # optax init is zeros_like/copies of params ⇒ optimizer state
         # inherits the param shardings.
         self.opt_state = self.optimizer.init(self.params)
+        self._opt_shardings = None
+        if cfg.zero1 and self.mesh is not None \
+                and self.mesh.shape.get(pmesh.DATA_AXIS, 1) > 1:
+            # ZeRO-1: re-lay the optimizer state sharded over the data
+            # axis (upgrade over the reference's per-rank full Adam copy,
+            # dist_finetuner.py:57; AdamSPD quadruples that state).
+            from ..parallel.sharding_rules import zero1_opt_shardings
+            self._opt_shardings = zero1_opt_shardings(self.opt_state,
+                                                      self.mesh)
+            self.opt_state = jax.tree.map(jax.device_put, self.opt_state,
+                                          self._opt_shardings)
         self.train_step = make_train_step(cfg, self.model_cfg,
-                                          self.optimizer, self.mesh)
+                                          self.optimizer, self.mesh,
+                                          opt_shardings=self._opt_shardings)
         self.global_step = 0
         self.best_loss = float("inf")
         self.checkpoint_manager = checkpoint_manager
@@ -341,6 +361,12 @@ class Trainer:
         if self.cfg.unstack_layers:
             params = m.unstack_layers(params)
             opt_state = _map_param_trees(m.unstack_layers, opt_state)
+        if self._opt_shardings is not None:
+            # ZeRO-1 runtime layout: restored state (whatever layout the
+            # checkpoint was written/read with) goes back onto the
+            # data-sharded placement the jitted step expects.
+            opt_state = jax.tree.map(jax.device_put, opt_state,
+                                     self._opt_shardings)
         self.params, self.opt_state = params, opt_state
 
     def step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:

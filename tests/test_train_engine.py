@@ -154,6 +154,53 @@ def test_mesh_local_negatives_matches_per_shard_math(rng, eight_devices):
                                rtol=1e-4)
 
 
+@pytest.mark.parametrize("global_negatives", [False, True])
+def test_zero1_matches_replicated(rng, eight_devices, global_negatives):
+    """ZeRO-1 (optimizer state sharded over the data axis) must produce
+    the identical training trajectory as the replicated layout — in both
+    negative-set modes — while actually holding ~1/dp of the AdamSPD
+    state per device."""
+    batch = make_batch(rng, 16)
+
+    def run(zero1):
+        cfg = tiny_train_config(optimizer_type="adamspd",
+                                gradient_accumulation_steps=1,
+                                batch_size=16, zero1=zero1,
+                                global_negatives=global_negatives,
+                                mesh=MeshConfig(data=8, model=1))
+        mesh = pmesh.make_mesh(MeshConfig(data=8, model=1), eight_devices)
+        trainer = Trainer(cfg,
+                          params=m.init_clip_params(jax.random.key(3), CFG),
+                          mesh=mesh)
+        for _ in range(3):
+            metrics = trainer.step(batch)
+        return trainer, metrics
+
+    t_rep, m_rep = run(zero1=False)
+    t_z1, m_z1 = run(zero1=True)
+
+    np.testing.assert_allclose(float(m_z1["total_loss"]),
+                               float(m_rep["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(t_rep.params),
+                    jax.tree.leaves(t_z1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+    def device0_bytes(tree):
+        total = 0
+        for leaf in jax.tree.leaves(tree):
+            if isinstance(leaf, jax.Array) and leaf.addressable_shards:
+                sh = leaf.addressable_shards[0]
+                total += int(np.prod(sh.data.shape)) * leaf.dtype.itemsize
+        return total
+
+    rep_bytes = device0_bytes(t_rep.opt_state)
+    z1_bytes = device0_bytes(t_z1.opt_state)
+    # mu + nu + anchor all shard; a handful of non-divisible leaves
+    # (e.g. [L]-leading stacks of odd dims) may stay replicated.
+    assert z1_bytes < 0.3 * rep_bytes, (z1_bytes, rep_bytes)
+
+
 def test_grad_accum_equals_fused_mean(rng):
     """accum=4 microbatch grads must equal the mean of the four separate
     per-microbatch grads (the reference's loss/accum scaling,

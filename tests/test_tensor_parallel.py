@@ -77,6 +77,56 @@ def test_tp_train_step_matches_single_device(rng, eight_devices):
                                    rtol=3e-4, atol=3e-5)
 
 
+def test_tp_zero1_composition_matches_single_device(rng, eight_devices):
+    """ZeRO-1 over data composed with Megatron TP over model: each opt
+    state leaf carries BOTH axes where divisible, and the (4, 2) mesh
+    step still equals single-device math."""
+    from clip_finegrained_alignment_tpu.parallel.sharding_rules import \
+        zero1_opt_shardings, zero1_opt_specs
+    cfg = tiny_train_config(global_negatives=True, use_amp=False,
+                            optimizer_type="adamspd", zero1=True,
+                            gradient_accumulation_steps=1, batch_size=8,
+                            mesh=MeshConfig(data=4, model=2))
+    params = m.init_clip_params(jax.random.key(3), CFG)
+    batch = make_batch(rng, 8, accum=1)
+
+    # The train step donates (params, opt_state); each run therefore gets
+    # its own optimizer with its own anchor copy (AdamSPD embeds the
+    # anchor arrays in the state by reference).
+    opt1 = make_optimizer(cfg, params,
+                          anchor_params=jax.tree.map(jnp.copy, params))
+    step1 = make_train_step(cfg, CFG, opt1, mesh=None)
+    p1, _, m1 = step1(jax.tree.map(jnp.copy, params),
+                      opt1.init(jax.tree.map(jnp.copy, params)),
+                      dict(batch))
+
+    mesh = pmesh.make_mesh(cfg.mesh, eight_devices)
+    sp = shard_params(params, mesh)
+    opt = make_optimizer(cfg, sp,
+                         anchor_params=jax.tree.map(jnp.copy, sp))
+    so = opt.init(sp)
+    osh = zero1_opt_shardings(so, mesh)
+    # Composition sanity: a TP-column-sharded fc1 moment leaf must carry
+    # both mesh axes ([L, D, F]: F on model from the TP rule, D on data
+    # from ZeRO-1).
+    from jax.sharding import PartitionSpec as P
+    specs = zero1_opt_specs(so, mesh)
+    flat = {jax.tree_util.keystr(k): v
+            for k, v in jax.tree_util.tree_flatten_with_path(specs)[0]}
+    fc1 = [v for k, v in flat.items() if "fc1" in k and "kernel" in k]
+    assert fc1 and all(spec == P(None, "data", "model") for spec in fc1), fc1
+    so = jax.tree.map(jax.device_put, so, osh)
+    sb = pmesh.shard_batch(dict(batch), mesh, accum_axis=True)
+    step_tpz = make_train_step(cfg, CFG, opt, mesh=mesh, opt_shardings=osh)
+    p2, _, m2 = step_tpz(sp, so, sb)
+
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+
 def test_tp_requires_global_negatives(eight_devices):
     cfg = tiny_train_config(global_negatives=False,
                             mesh=MeshConfig(data=4, model=2))

@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard optimizer state (AdamSPD mu/nu/anchors) "
                         "over the data axis, ZeRO-1 style — ~1/n_devices "
                         "optimizer memory per chip, identical math")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="Megatron-style tensor-parallel degree (the "
+                        "'model' mesh axis; devices = data x model). "
+                        "Requires --global-negatives; composes with "
+                        "--zero1. For models whose AdamSPD state "
+                        "overflows one chip's HBM (ViT-L/14: 8.6 GB) — "
+                        "see BASELINE.md 'ViT-L/14 scaling story'")
     p.add_argument("--pretrained", default=None,
                    help="HF model name or reference .pt checkpoint to "
                         "initialize from (default: random init when "
@@ -131,7 +138,23 @@ def main(argv=None) -> None:
         remat={"0": False, "1": True, "dots": "dots"}[args.remat],
         global_negatives=args.global_negatives, zero1=args.zero1,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
-        mesh=MeshConfig(data=jax.device_count(), model=1))
+        mesh=MeshConfig(data=jax.device_count() // args.model_parallel,
+                        model=args.model_parallel))
+    if args.model_parallel > 1:
+        if jax.device_count() % args.model_parallel != 0:
+            raise SystemExit(
+                f"--model-parallel {args.model_parallel} must divide the "
+                f"device count ({jax.device_count()})")
+        if not args.global_negatives:
+            raise SystemExit(
+                "--model-parallel > 1 requires --global-negatives: the "
+                "DDP-parity shard_map path assumes replicated params "
+                "(train/engine.py)")
+        if args.unstack_layers:
+            raise SystemExit(
+                "--model-parallel > 1 is incompatible with "
+                "--unstack-layers (TP sharding rules address the stacked "
+                "[L, ...] layout)")
     if cfg.batch_size % cfg.mesh.data != 0:
         raise SystemExit(
             f"--batch-size {cfg.batch_size} must be divisible by the "

@@ -83,6 +83,29 @@ def test_train_count_loss_with_epoch_eval(workdir, capsys):
                           "confusion_epoch_0.png")
 
 
+def test_train_model_parallel_with_zero1(workdir):
+    """--model-parallel 2 --zero1 through the public CLI on the 8-device
+    mesh: the full TP x ZeRO-1 production path (sharding rules, sharded
+    optimizer state, TP-sharded orbax checkpoint) from the command line."""
+    from clip_finegrained_alignment_tpu.cli.train import main
+    main(train_args(workdir, 1, ["--global-negatives", "--model-parallel",
+                                 "2", "--zero1",
+                                 "--experiment-name", "cli_tp"]))
+    best = workdir / "ckpts" / "cli_tp" / "best"
+    assert best.is_dir()
+    meta = json.loads((best / "meta.json").read_text())
+    assert meta["global_step"] == 2
+
+
+def test_model_parallel_flag_validation(workdir):
+    from clip_finegrained_alignment_tpu.cli.train import main
+    with pytest.raises(SystemExit, match="global-negatives"):
+        main(train_args(workdir, 1, ["--model-parallel", "2"]))
+    with pytest.raises(SystemExit, match="divide"):
+        main(train_args(workdir, 1, ["--model-parallel", "3",
+                                     "--global-negatives"]))
+
+
 def test_evaluate_vlmsblind_procedural(workdir):
     from clip_finegrained_alignment_tpu.cli.evaluate import main
     outdir = str(workdir / "evalout_vb")

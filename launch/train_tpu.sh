@@ -25,8 +25,14 @@ RESUME_FLAG=""
 
 # Measured-fastest v5e regime (BASELINE.md round 2): unstacked per-layer
 # params, XLA attention + SPARC, activations stored (remat 0) —
-# 1000 pairs/s/chip on ViT-B/16. Override via EXTRA for memory-bound
-# configs (ViT-L: EXTRA="--remat dots").
+# 1000 pairs/s/chip on ViT-B/16. Memory-bound configs (ViT-L/14 on a
+# v5e-8): EXTRA="--zero1" shards the optimizer state 1/dp per chip;
+# MP=2 adds Megatron tensor parallelism (implies the stacked layout);
+# EXTRA="--remat dots" trades FLOPs for HBM.
+MP=${MP:-1}
+LAYOUT_FLAGS="--unstack-layers"
+[ "$MP" -gt 1 ] && LAYOUT_FLAGS="--model-parallel $MP"
+
 exec python -m clip_finegrained_alignment_tpu.cli.train \
   --annotations "$ANNOTATIONS" \
   --model "$MODEL" \
@@ -36,5 +42,5 @@ exec python -m clip_finegrained_alignment_tpu.cli.train \
   --batch-size "$BATCH" \
   --grad-accum "$ACCUM" \
   --experiment-name "$EXPERIMENT" \
-  --unstack-layers --remat 0 --global-negatives \
+  $LAYOUT_FLAGS --remat 0 --global-negatives \
   $RESUME_FLAG $EXTRA

@@ -78,6 +78,11 @@ def main():
     # buffers instead of update-slicing into the stacked [12, ...] buffer
     # — 1000.4 vs 951 pairs/s (perf/sweep_r2h.log, TRACE_ANALYSIS.md).
     unstack = os.environ.get("BENCH_UNSTACK", "1") == "1"
+    # BENCH_QUANT=switchback|int8: dynamic-int8 MXU path for the encoder
+    # projection GEMMs (ops/quant.py) — v5e runs int8 at 2x the bf16
+    # peak, so this can pass the bf16 roofline. Changes numerics
+    # (bounded; tests/test_quant.py), so the default bench stays bf16.
+    quant = os.environ.get("BENCH_QUANT", "none")
 
     model_cfg = CLIPConfig.from_name(model_name)
     cfg = TrainConfig(
@@ -86,7 +91,7 @@ def main():
         gradient_accumulation_steps=accum, use_amp=True, remat=remat,
         use_pallas_attention=use_pallas, use_fused_sparc=use_fused_sparc,
         unroll_layers=unroll, unroll_accum=unroll_accum,
-        unstack_layers=unstack)
+        unstack_layers=unstack, quant=quant)
 
     params = m.init_clip_params(jax.random.key(0), model_cfg)
     if unstack:

@@ -84,6 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "--zero1. For models whose AdamSPD state "
                         "overflows one chip's HBM (ViT-L/14: 8.6 GB) — "
                         "see BASELINE.md 'ViT-L/14 scaling story'")
+    p.add_argument("--quant", default="none",
+                   choices=["none", "switchback", "int8"],
+                   help="dynamic-int8 MXU path for the encoder projection "
+                        "GEMMs (2x bf16 peak on v5e; ops/quant.py). "
+                        "switchback = int8 fwd+dgrad, exact wgrad "
+                        "(arXiv:2304.13013); int8 = all three matmuls. "
+                        "Bounded numerics change — not a parity mode")
     p.add_argument("--pretrained", default=None,
                    help="HF model name or reference .pt checkpoint to "
                         "initialize from (default: random init when "
@@ -134,7 +141,7 @@ def main(argv=None) -> None:
         seed=args.seed, use_pallas_attention=args.pallas,
         use_fused_sparc=args.pallas or args.fused_sparc,
         unroll_layers=args.unroll_layers, unroll_accum=args.unroll_accum,
-        unstack_layers=args.unstack_layers,
+        unstack_layers=args.unstack_layers, quant=args.quant,
         remat={"0": False, "1": True, "dots": "dots"}[args.remat],
         global_negatives=args.global_negatives, zero1=args.zero1,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,

@@ -223,6 +223,14 @@ class TrainConfig:
                                           # buffers (no stacked-buffer
                                           # update-slices). Identical math;
                                           # checkpoints stay stacked.
+    quant: str = "none"                   # int8 MXU path for the encoder
+                                          # projection GEMMs (ops/quant.py):
+                                          # "switchback" = int8 fwd+dgrad,
+                                          # exact wgrad (arXiv:2304.13013);
+                                          # "int8" = all three matmuls int8.
+                                          # Changes numerics (bounded —
+                                          # tests/test_quant.py); not a
+                                          # parity mode.
     global_negatives: bool = False        # all-gather embeddings across the
                                           # data axis for the contrastive loss
                                           # (upgrade over reference local-only
@@ -243,6 +251,9 @@ class TrainConfig:
             raise ValueError(f"invalid optimizer_type {self.optimizer_type!r}")
         if self.gradient_accumulation_steps < 1:
             raise ValueError("gradient_accumulation_steps must be >= 1")
+        if self.quant not in ("none", "switchback", "int8"):
+            raise ValueError(f"invalid quant {self.quant!r} "
+                             "(none | switchback | int8)")
 
     @property
     def effective_batch_size(self) -> int:
@@ -316,6 +327,7 @@ class TrainConfig:
                 "Pallas attention": self.use_pallas_attention,
                 "Fused SPARC kernel": self.use_fused_sparc,
                 "Global negatives": self.global_negatives,
+                "Int8 quantized GEMMs": self.quant,
             },
         }
         for group, params in groups.items():

@@ -206,6 +206,18 @@ def linear(p, x, dtype=None):
     return y
 
 
+def _linear_fn(quant: str):
+    """The projection-GEMM implementation for a ``TrainConfig.quant`` mode:
+    exact bf16 (default) or the dynamic-int8 MXU path (``ops/quant.py``,
+    2x peak on v5e). Applied to the encoder-layer projections and the
+    patch embedding — ~95% of model FLOPs; loss-facing projections and
+    the [S,S] attention einsums stay exact."""
+    if quant == "none":
+        return linear
+    from ..ops.quant import quant_linear
+    return lambda p, x, dtype=None: quant_linear(p, x, dtype, quant)
+
+
 # Attention score precision. Default: scores/softmax in the compute dtype
 # — under bf16 this halves the [B, H, S, S] logits/probs HBM traffic, the
 # dominant attention cost (+13% train throughput measured on v5e; CLIP's
@@ -263,31 +275,33 @@ def _xla_attention_bshd(q, k, v, bias, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
-def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False):
+def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False,
+              quant="none"):
     """Multi-head self-attention with HF CLIP parameterization."""
     B, S, D = x.shape
     head_dim = D // num_heads
     scale = head_dim ** -0.5
+    lin = _linear_fn(quant)
 
     if _attn_layout() == "bshd":
         def heads(y):
             return y.reshape(B, S, num_heads, head_dim)
-        q = heads(linear(layer_p["q"], x, dtype))
-        k = heads(linear(layer_p["k"], x, dtype))
-        v = heads(linear(layer_p["v"], x, dtype))
+        q = heads(lin(layer_p["q"], x, dtype))
+        k = heads(lin(layer_p["k"], x, dtype))
+        v = heads(lin(layer_p["v"], x, dtype))
         if use_pallas:
             from ..ops.attention import flash_attention
             out = flash_attention(q, k, v, bias, scale, layout="bshd")
         else:
             out = _xla_attention_bshd(q, k, v, bias, scale)
-        return linear(layer_p["out"], out.reshape(B, S, D), dtype)
+        return lin(layer_p["out"], out.reshape(B, S, D), dtype)
 
     def split_heads(y):
         return y.reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
 
-    q = split_heads(linear(layer_p["q"], x, dtype))
-    k = split_heads(linear(layer_p["k"], x, dtype))
-    v = split_heads(linear(layer_p["v"], x, dtype))
+    q = split_heads(lin(layer_p["q"], x, dtype))
+    k = split_heads(lin(layer_p["k"], x, dtype))
+    v = split_heads(lin(layer_p["v"], x, dtype))
 
     if use_pallas:
         from ..ops.attention import flash_attention
@@ -296,11 +310,11 @@ def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False):
         out = _xla_attention(q, k, v, bias, scale)
 
     out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
-    return linear(layer_p["out"], out, dtype)
+    return lin(layer_p["out"], out, dtype)
 
 
 def encoder(params_stacked, x, bias, num_heads, eps, *, dtype,
-            use_pallas=False, remat=False, unroll=1):
+            use_pallas=False, remat=False, unroll=1, quant="none"):
     """Pre-LN transformer encoder over stacked layer params via lax.scan.
 
     ``remat=True`` wraps the layer body in ``jax.checkpoint`` so backward
@@ -313,16 +327,18 @@ def encoder(params_stacked, x, bias, num_heads, eps, *, dtype,
     cost of a larger program (perf knob, identical math).
     """
 
+    lin = _linear_fn(quant)
+
     def body(h, layer_p):
         r = h
         h = layer_norm(layer_p["ln1"], h, eps)
         h = attention(layer_p, h, bias, num_heads, dtype=dtype,
-                      use_pallas=use_pallas)
+                      use_pallas=use_pallas, quant=quant)
         h = r + h
         r = h
         h = layer_norm(layer_p["ln2"], h, eps)
-        h = quick_gelu(linear(layer_p["fc1"], h, dtype))
-        h = linear(layer_p["fc2"], h, dtype)
+        h = quick_gelu(lin(layer_p["fc1"], h, dtype))
+        h = lin(layer_p["fc2"], h, dtype)
         return r + h, None
 
     if remat:
@@ -370,11 +386,11 @@ def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
 
 def vision_tower(params: Params, pixel_values: jax.Array, cfg: VisionConfig,
                  *, dtype=jnp.float32, use_pallas=False,
-                 remat=False, unroll=1) -> TowerOutput:
+                 remat=False, unroll=1, quant="none") -> TowerOutput:
     """ViT image tower. ``pixel_values``: [B, H, W, 3] NHWC, normalized."""
     p = params
     x = patchify(pixel_values.astype(dtype), cfg.patch_size)
-    x = x @ p["patch_embedding"]["kernel"].astype(dtype)   # [B, N, D]
+    x = _linear_fn(quant)(p["patch_embedding"], x, dtype)   # [B, N, D]
     cls = jnp.broadcast_to(p["class_embedding"].astype(dtype),
                            (x.shape[0], 1, cfg.hidden_size))
     x = jnp.concatenate([cls, x], axis=1)
@@ -382,7 +398,7 @@ def vision_tower(params: Params, pixel_values: jax.Array, cfg: VisionConfig,
     x = layer_norm(p["pre_layernorm"], x, cfg.layer_norm_eps)
     x = encoder(p["layers"], x, None, cfg.num_heads, cfg.layer_norm_eps,
                 dtype=dtype, use_pallas=use_pallas, remat=remat,
-                unroll=unroll)
+                unroll=unroll, quant=quant)
     pooled = layer_norm(p["post_layernorm"], x[:, 0], cfg.layer_norm_eps)
     return TowerOutput(last_hidden_state=x, pooled=pooled)
 
@@ -400,7 +416,7 @@ def _text_attention_bias(input_ids, attention_mask, seq_len):
 def text_tower(params: Params, input_ids: jax.Array, cfg: TextConfig,
                *, attention_mask: Optional[jax.Array] = None,
                dtype=jnp.float32, use_pallas=False,
-               remat=False, unroll=1) -> TowerOutput:
+               remat=False, unroll=1, quant="none") -> TowerOutput:
     """Text transformer tower. ``input_ids``: [B, T] int32.
 
     Pooling follows HF: hidden state at the **first EOS token** position.
@@ -416,7 +432,7 @@ def text_tower(params: Params, input_ids: jax.Array, cfg: TextConfig,
     bias = _text_attention_bias(input_ids, attention_mask, T)
     x = encoder(p["layers"], x, bias, cfg.num_heads, cfg.layer_norm_eps,
                 dtype=dtype, use_pallas=use_pallas, remat=remat,
-                unroll=unroll)
+                unroll=unroll, quant=quant)
     x = layer_norm(p["final_layernorm"], x, cfg.layer_norm_eps)
     eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
                          axis=-1)
@@ -445,22 +461,24 @@ class CLIPOutput(NamedTuple):
 
 def encode_image(params: Params, pixel_values: jax.Array, cfg: CLIPConfig,
                  *, dtype=jnp.float32, use_pallas=False,
-                 remat=False, unroll=1) -> jax.Array:
+                 remat=False, unroll=1, quant="none") -> jax.Array:
     """Projected image embedding (un-normalized), as HF ``get_image_features``
     / OpenAI ``model.encode_image`` (``count_finetuner.py:107``)."""
     out = vision_tower(params["vision"], pixel_values, cfg.vision,
                        dtype=dtype, use_pallas=use_pallas, remat=remat,
-                       unroll=unroll)
+                       unroll=unroll, quant=quant)
     return linear(params["visual_projection"], out.pooled, dtype)
 
 
 def encode_text(params: Params, input_ids: jax.Array, cfg: CLIPConfig,
                 *, attention_mask=None, dtype=jnp.float32,
-                use_pallas=False, remat=False, unroll=1) -> jax.Array:
+                use_pallas=False, remat=False, unroll=1,
+                quant="none") -> jax.Array:
     """Projected text embedding (un-normalized)."""
     out = text_tower(params["text"], input_ids, cfg.text,
                      attention_mask=attention_mask, dtype=dtype,
-                     use_pallas=use_pallas, remat=remat, unroll=unroll)
+                     use_pallas=use_pallas, remat=remat, unroll=unroll,
+                     quant=quant)
     return linear(params["text_projection"], out.pooled, dtype)
 
 
@@ -468,16 +486,17 @@ def clip_forward(params: Params, pixel_values: jax.Array,
                  input_ids: jax.Array, cfg: CLIPConfig, *,
                  attention_mask: Optional[jax.Array] = None,
                  dtype=jnp.float32, use_pallas=False,
-                 remat=False, unroll=1) -> CLIPOutput:
+                 remat=False, unroll=1, quant="none") -> CLIPOutput:
     """Full dual-tower forward returning everything any reference loss needs
     in one pass (the reference re-encodes for some paths, e.g.
     ``count_finetuner.py:107-123``; here one forward serves all)."""
     v = vision_tower(params["vision"], pixel_values, cfg.vision,
                      dtype=dtype, use_pallas=use_pallas, remat=remat,
-                     unroll=unroll)
+                     unroll=unroll, quant=quant)
     t = text_tower(params["text"], input_ids, cfg.text,
                    attention_mask=attention_mask, dtype=dtype,
-                   use_pallas=use_pallas, remat=remat, unroll=unroll)
+                   use_pallas=use_pallas, remat=remat, unroll=unroll,
+                   quant=quant)
     image_embeds = linear(params["visual_projection"], v.pooled, dtype)
     text_embeds = linear(params["text_projection"], t.pooled, dtype)
 

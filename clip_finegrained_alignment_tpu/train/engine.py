@@ -79,7 +79,8 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
 
     out = m.clip_forward(params, pixel_values, input_ids, model_cfg,
                          dtype=dtype, use_pallas=use_pallas,
-                         remat=cfg.remat, unroll=cfg.unroll_layers)
+                         remat=cfg.remat, unroll=cfg.unroll_layers,
+                         quant=cfg.quant)
 
     if cfg.loss_type == "sparc":
         # Project full hidden sequences into the shared space
@@ -101,8 +102,8 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
         B, N, T = cf.shape
         ek_cf = m.encode_text(params, cf.reshape(B * N, T), model_cfg,
                               dtype=dtype, use_pallas=use_pallas,
-                              remat=cfg.remat,
-                              unroll=cfg.unroll_layers).reshape(B, N, -1)
+                              remat=cfg.remat, unroll=cfg.unroll_layers,
+                              quant=cfg.quant).reshape(B, N, -1)
         losses = L.count_loss(
             out.logits_per_image, out.logits_per_text,
             out.image_embeds, out.text_embeds, ek_cf,
@@ -113,8 +114,8 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
             B, G, T = group.shape
             ek = m.encode_text(params, group.reshape(B * G, T), model_cfg,
                                dtype=dtype, use_pallas=use_pallas,
-                               remat=cfg.remat,
-                               unroll=cfg.unroll_layers).reshape(B, G, -1)
+                               remat=cfg.remat, unroll=cfg.unroll_layers,
+                               quant=cfg.quant).reshape(B, G, -1)
         else:
             ek = None
         losses = L.clip_count_loss(out.image_embeds, out.text_embeds, ek,

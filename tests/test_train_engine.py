@@ -422,3 +422,29 @@ def test_restore_missing_meta_raises(rng, tmp_path):
     like = {"params": trainer.params, "opt_state": trainer.opt_state}
     with pytest.raises(RuntimeError, match="meta.json"):
         mgr.restore("best", like=like)
+
+
+@pytest.mark.parametrize("quant", ["switchback", "int8"])
+def test_quant_trajectory_tracks_bf16(rng, quant):
+    """Int8 quantized training (ops/quant.py) must optimize the same
+    objective: loss decreases, stays finite, and tracks the exact-path
+    trajectory within the quantization-noise bound. (The tiny test model's
+    K=32 projections make the absmax grid relatively coarser than the
+    production D=768, so the bound here is loose; the production-shape
+    error bound is pinned in tests/test_quant.py.)"""
+    def run(q):
+        cfg = tiny_train_config(loss_type="sparc", inverse_temperature=0.07,
+                                optimizer_type="adamspd", quant=q)
+        trainer = Trainer(cfg, mesh=None)
+        batch = make_batch(rng_for_run, cfg.effective_batch_size, "sparc")
+        return [float(trainer.step(batch)["total_loss"]) for _ in range(6)]
+
+    rng_for_run = np.random.default_rng(7)
+    exact = run("none")
+    rng_for_run = np.random.default_rng(7)   # same data for both runs
+    quantized = run(quant)
+
+    assert all(np.isfinite(quantized))
+    assert quantized[-1] < quantized[0]          # optimizes
+    for e, q in zip(exact, quantized):           # tracks the exact path
+        assert abs(q - e) < 0.25 * abs(e) + 0.05

@@ -1,0 +1,70 @@
+"""Export a trained checkpoint to the reference's torch-pickle format.
+
+``python -m clip_finegrained_alignment_tpu.cli.export_checkpoint
+    --checkpoint runs/ckpt/42 --model ViT-B/32 --output best.pt``
+
+The output is byte-compatible with what the reference's trainers write
+(``model_state_dict`` + ``global_step`` + ``best_loss`` + ``config``,
+``/root/reference/finetune/finetuner.py:256-273``), so it loads into
+``CLIPFineTuner.load_checkpoint``, ``CLIPModel.load_state_dict``, and
+every reference evaluator's ``--checkpoint`` flag — the hand-back half
+of the interop whose import half is ``cli/evaluate.py::load_params``.
+
+Accepts any source ``load_params`` accepts (orbax dir, reference .pt,
+HF name), so it doubles as a format converter.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Export a checkpoint to the reference torch .pt format")
+    p.add_argument("--checkpoint", required=True,
+                   help="orbax checkpoint dir (or .pt / HF name to convert)")
+    p.add_argument("--model", default="ViT-B/32",
+                   help="model family (ViT-B/32, ViT-B/16, ViT-L/14)")
+    p.add_argument("--output", required=True, help="output .pt path")
+    p.add_argument("--pretrained", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--global-step", type=int, default=None,
+                   help="override global_step (default: the checkpoint's "
+                        "meta.json when present, else 0)")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from ..config import CLIPConfig
+    from ..models.hf_export import save_reference_checkpoint
+    from .evaluate import load_params
+
+    model_cfg = CLIPConfig.from_name(args.model)
+    params = load_params(args, model_cfg)
+
+    # Carry training metadata over when exporting an orbax step dir whose
+    # parent holds the manager's meta.json (train/checkpoint.py).
+    meta = {}
+    if os.path.isdir(args.checkpoint):
+        for d in (args.checkpoint, os.path.dirname(args.checkpoint.rstrip("/"))):
+            mp = os.path.join(d, "meta.json")
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    meta = json.load(f)
+                break
+
+    save_reference_checkpoint(
+        args.output, params, model_cfg,
+        global_step=args.global_step if args.global_step is not None
+        else int(meta.get("global_step", 0)),
+        best_loss=float(meta.get("best_loss", float("inf"))),
+        config=meta.get("config", {}))
+    print(f"wrote {args.output} (reference torch-pickle format)")
+
+
+if __name__ == "__main__":
+    main()

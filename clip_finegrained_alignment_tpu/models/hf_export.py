@@ -1,0 +1,117 @@
+"""JAX param-pytree → HF torch-checkpoint conversion (inverse of hf_import).
+
+Closes the interop loop: ``hf_import.py`` lets reference/HF checkpoints
+drop into this framework; this module lets checkpoints trained here drop
+back into the reference stack — ``CLIPModel.load_state_dict`` and the
+reference's torch-pickle training-checkpoint loader
+(``/root/reference/finetune/finetuner.py:225-273``) and evaluators
+(non-strict loads, ``count-bench/cb_eval.py:53-61``) consume the output
+directly. Round-trip pinned in ``tests/test_hf_export.py``.
+
+The state-dict side is pure numpy; torch is only imported by
+``save_reference_checkpoint`` (torch-CPU is baked into this image).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import numpy as np
+
+from ..config import CLIPConfig
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(jax.device_get(x), dtype=np.float32)
+
+
+def _linear_out(sd, prefix: str, p: Mapping[str, Any]) -> None:
+    sd[prefix + ".weight"] = _np(p["kernel"]).T     # torch stores [out, in]
+    if "bias" in p:
+        sd[prefix + ".bias"] = _np(p["bias"])
+
+
+def _layernorm_out(sd, prefix: str, p: Mapping[str, Any]) -> None:
+    sd[prefix + ".weight"] = _np(p["scale"])
+    sd[prefix + ".bias"] = _np(p["bias"])
+
+
+def _encoder_layers_out(sd, prefix: str, layers) -> None:
+    """Stacked [L, ...] leaves (or an unstacked tuple) → per-layer HF names."""
+    if isinstance(layers, (list, tuple)):
+        per_layer = list(layers)
+    else:
+        num = jax.tree.leaves(layers)[0].shape[0]
+        per_layer = [jax.tree.map(lambda x, i=i: x[i], layers)
+                     for i in range(num)]
+    for i, lp in enumerate(per_layer):
+        pre = f"{prefix}.layers.{i}"
+        _layernorm_out(sd, f"{pre}.layer_norm1", lp["ln1"])
+        _linear_out(sd, f"{pre}.self_attn.q_proj", lp["q"])
+        _linear_out(sd, f"{pre}.self_attn.k_proj", lp["k"])
+        _linear_out(sd, f"{pre}.self_attn.v_proj", lp["v"])
+        _linear_out(sd, f"{pre}.self_attn.out_proj", lp["out"])
+        _layernorm_out(sd, f"{pre}.layer_norm2", lp["ln2"])
+        _linear_out(sd, f"{pre}.mlp.fc1", lp["fc1"])
+        _linear_out(sd, f"{pre}.mlp.fc2", lp["fc2"])
+
+
+def hf_state_dict_from_params(params: Mapping[str, Any],
+                              cfg: CLIPConfig) -> Dict[str, np.ndarray]:
+    """Our param pytree → HF ``CLIPModel`` state-dict names (numpy values).
+
+    Exact inverse of ``hf_import.params_from_hf_state_dict`` for every
+    weight both models carry. (HF's ``position_ids`` buffers are omitted —
+    they are constant ``arange`` buffers ``load_state_dict`` regenerates;
+    the reference's evaluators load non-strict anyway.)
+    """
+    sd: Dict[str, np.ndarray] = {}
+    v, t = params["vision"], params["text"]
+
+    ps = cfg.vision.patch_size
+    # matmul kernel [ps*ps*3, D] → torch conv [D, 3, ps, ps]; inverse of
+    # the (row, col, channel) flattening in hf_import.py:71-75.
+    kernel = _np(v["patch_embedding"]["kernel"])
+    sd["vision_model.embeddings.patch_embedding.weight"] = (
+        kernel.reshape(ps, ps, 3, -1).transpose(3, 2, 0, 1))
+    sd["vision_model.embeddings.class_embedding"] = _np(v["class_embedding"])
+    sd["vision_model.embeddings.position_embedding.weight"] = _np(
+        v["position_embedding"])
+    _layernorm_out(sd, "vision_model.pre_layrnorm", v["pre_layernorm"])
+    _layernorm_out(sd, "vision_model.post_layernorm", v["post_layernorm"])
+    _encoder_layers_out(sd, "vision_model.encoder", v["layers"])
+
+    sd["text_model.embeddings.token_embedding.weight"] = _np(
+        t["token_embedding"])
+    sd["text_model.embeddings.position_embedding.weight"] = _np(
+        t["position_embedding"])
+    _layernorm_out(sd, "text_model.final_layer_norm", t["final_layernorm"])
+    _encoder_layers_out(sd, "text_model.encoder", t["layers"])
+
+    _linear_out(sd, "visual_projection", params["visual_projection"])
+    _linear_out(sd, "text_projection", params["text_projection"])
+    sd["logit_scale"] = _np(params["logit_scale"]).reshape(())
+    return sd
+
+
+def save_reference_checkpoint(path: str, params: Mapping[str, Any],
+                              cfg: CLIPConfig, *,
+                              global_step: int = 0,
+                              best_loss: float = float("inf"),
+                              config: Optional[dict] = None) -> None:
+    """Write a torch-pickle checkpoint in the reference's training format
+    (``model_state_dict`` + ``global_step`` + ``best_loss`` + ``config``,
+    ``finetuner.py:256-273``) loadable by ``CLIPFineTuner.load_checkpoint``
+    and every reference evaluator's ``--checkpoint`` flag."""
+    import torch
+
+    # copy: device_get arrays are non-writable; torch wants owned memory.
+    sd = {k: torch.from_numpy(np.array(a, copy=True))
+          for k, a in hf_state_dict_from_params(params, cfg).items()}
+    torch.save({
+        "model_state_dict": sd,
+        "global_step": int(global_step),
+        "best_loss": float(best_loss),
+        "config": dict(config or {}),
+    }, path)

@@ -33,11 +33,13 @@ def main():
     remat = {"0": False, "1": True,
              "dots": "dots"}[os.environ.get("BENCH_REMAT", "0")]
     unroll = int(os.environ.get("BENCH_UNROLL", "12"))
+    quant = os.environ.get("BENCH_QUANT", "none")
     cfg = TrainConfig(
         clip_model=model_name, loss_type="sparc", optimizer_type="adamspd",
         inverse_temperature=0.07, batch_size=batch_size,
         gradient_accumulation_steps=accum, use_amp=True,
-        remat=remat, unroll_layers=unroll, unstack_layers=unstack)
+        remat=remat, unroll_layers=unroll, unstack_layers=unstack,
+        quant=quant)
     params = m.init_clip_params(jax.random.key(0), model_cfg)
     if unstack:
         params = m.unstack_layers(params)

@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default="ViT-B/32",
                    help="model family (ViT-B/32, ViT-B/16, ViT-L/14)")
     p.add_argument("--output", required=True, help="output .pt path")
+    p.add_argument("--format", default="hf", choices=["hf", "openai"],
+                   help="state-dict naming: hf = CLIPModel names (the "
+                        "SPARC/DDP trainers + evaluators), openai = clip-"
+                        "package names (the count trainer's resume format)")
     p.add_argument("--pretrained", default=None, help=argparse.SUPPRESS)
     p.add_argument("--global-step", type=int, default=None,
                    help="override global_step (default: the checkpoint's "
@@ -62,7 +66,7 @@ def main(argv=None) -> None:
         global_step=args.global_step if args.global_step is not None
         else int(meta.get("global_step", 0)),
         best_loss=float(meta.get("best_loss", float("inf"))),
-        config=meta.get("config", {}))
+        config=meta.get("config", {}), fmt=args.format)
     print(f"wrote {args.output} (reference torch-pickle format)")
 
 

@@ -39,13 +39,7 @@ def _layernorm_out(sd, prefix: str, p: Mapping[str, Any]) -> None:
 
 def _encoder_layers_out(sd, prefix: str, layers) -> None:
     """Stacked [L, ...] leaves (or an unstacked tuple) → per-layer HF names."""
-    if isinstance(layers, (list, tuple)):
-        per_layer = list(layers)
-    else:
-        num = jax.tree.leaves(layers)[0].shape[0]
-        per_layer = [jax.tree.map(lambda x, i=i: x[i], layers)
-                     for i in range(num)]
-    for i, lp in enumerate(per_layer):
+    for i, lp in enumerate(_per_layer(layers)):
         pre = f"{prefix}.layers.{i}"
         _layernorm_out(sd, f"{pre}.layer_norm1", lp["ln1"])
         _linear_out(sd, f"{pre}.self_attn.q_proj", lp["q"])
@@ -95,20 +89,81 @@ def hf_state_dict_from_params(params: Mapping[str, Any],
     return sd
 
 
+def _per_layer(layers):
+    if isinstance(layers, (list, tuple)):
+        return list(layers)
+    num = jax.tree.leaves(layers)[0].shape[0]
+    return [jax.tree.map(lambda x, i=i: x[i], layers) for i in range(num)]
+
+
+def openai_state_dict_from_params(params: Mapping[str, Any],
+                                  cfg: CLIPConfig) -> Dict[str, np.ndarray]:
+    """Our param pytree → OpenAI ``clip`` package state-dict names — the
+    format the reference's count trainer loads on resume
+    (``/root/reference/finetune/count_finetuner.py:223-234`` expects
+    ``clip.load("ViT-B/32")`` names). Inverse of
+    ``hf_import.params_from_openai_state_dict``; q/k/v re-fuse into
+    ``attn.in_proj_*``, projections stay un-transposed ``x @ proj``
+    matrices. (The ``attn_mask``/dtype buffers the clip package
+    regenerates are omitted — its ``load_state_dict`` tolerates that
+    with ``strict=False``; ``build_model`` infers the architecture from
+    the shapes emitted here.)"""
+    sd: Dict[str, np.ndarray] = {}
+    v, t = params["vision"], params["text"]
+
+    ps = cfg.vision.patch_size
+    kernel = _np(v["patch_embedding"]["kernel"])
+    sd["visual.conv1.weight"] = kernel.reshape(ps, ps, 3, -1
+                                               ).transpose(3, 2, 0, 1)
+    sd["visual.class_embedding"] = _np(v["class_embedding"])
+    sd["visual.positional_embedding"] = _np(v["position_embedding"])
+    _layernorm_out(sd, "visual.ln_pre", v["pre_layernorm"])
+    _layernorm_out(sd, "visual.ln_post", v["post_layernorm"])
+    sd["visual.proj"] = _np(params["visual_projection"]["kernel"])
+
+    def blocks(prefix, layers):
+        for i, lp in enumerate(_per_layer(layers)):
+            pre = f"{prefix}.resblocks.{i}"
+            _layernorm_out(sd, f"{pre}.ln_1", lp["ln1"])
+            sd[f"{pre}.attn.in_proj_weight"] = np.concatenate(
+                [_np(lp[n]["kernel"]).T for n in ("q", "k", "v")], axis=0)
+            sd[f"{pre}.attn.in_proj_bias"] = np.concatenate(
+                [_np(lp[n]["bias"]) for n in ("q", "k", "v")], axis=0)
+            _linear_out(sd, f"{pre}.attn.out_proj", lp["out"])
+            _layernorm_out(sd, f"{pre}.ln_2", lp["ln2"])
+            _linear_out(sd, f"{pre}.mlp.c_fc", lp["fc1"])
+            _linear_out(sd, f"{pre}.mlp.c_proj", lp["fc2"])
+
+    blocks("visual.transformer", v["layers"])
+    blocks("transformer", t["layers"])
+
+    sd["token_embedding.weight"] = _np(t["token_embedding"])
+    sd["positional_embedding"] = _np(t["position_embedding"])
+    _layernorm_out(sd, "ln_final", t["final_layernorm"])
+    sd["text_projection"] = _np(params["text_projection"]["kernel"])
+    sd["logit_scale"] = _np(params["logit_scale"]).reshape(())
+    return sd
+
+
 def save_reference_checkpoint(path: str, params: Mapping[str, Any],
                               cfg: CLIPConfig, *,
                               global_step: int = 0,
                               best_loss: float = float("inf"),
-                              config: Optional[dict] = None) -> None:
+                              config: Optional[dict] = None,
+                              fmt: str = "hf") -> None:
     """Write a torch-pickle checkpoint in the reference's training format
     (``model_state_dict`` + ``global_step`` + ``best_loss`` + ``config``,
     ``finetuner.py:256-273``) loadable by ``CLIPFineTuner.load_checkpoint``
-    and every reference evaluator's ``--checkpoint`` flag."""
+    and every reference evaluator's ``--checkpoint`` flag. ``fmt="openai"``
+    emits OpenAI clip-package names instead (the count trainer's resume
+    format, ``count_finetuner.py:223-234``)."""
     import torch
 
+    to_sd = openai_state_dict_from_params if fmt == "openai" \
+        else hf_state_dict_from_params
     # copy: device_get arrays are non-writable; torch wants owned memory.
     sd = {k: torch.from_numpy(np.array(a, copy=True))
-          for k, a in hf_state_dict_from_params(params, cfg).items()}
+          for k, a in to_sd(params, cfg).items()}
     torch.save({
         "model_state_dict": sd,
         "global_step": int(global_step),

@@ -104,6 +104,91 @@ def params_from_hf_state_dict(sd: Mapping[str, Any],
     }
 
 
+def _openai_block(sd: Mapping[str, Any], lp: str, d: int):
+    """One OpenAI-clip ResidualAttentionBlock → our layer dict. The fused
+    ``attn.in_proj_weight`` [3D, D] splits into q/k/v rows (torch
+    MultiheadAttention packs them in that order)."""
+    w = _to_np(sd[f"{lp}.attn.in_proj_weight"])
+    b = _to_np(sd[f"{lp}.attn.in_proj_bias"])
+    qkv = {}
+    for i, name in enumerate(("q", "k", "v")):
+        qkv[name] = {"kernel": jnp.asarray(w[i * d:(i + 1) * d].T),
+                     "bias": jnp.asarray(b[i * d:(i + 1) * d])}
+    return {
+        "ln1": _layernorm(sd, f"{lp}.ln_1"),
+        **qkv,
+        "out": _linear(sd, f"{lp}.attn.out_proj"),
+        "ln2": _layernorm(sd, f"{lp}.ln_2"),
+        "fc1": _linear(sd, f"{lp}.mlp.c_fc"),
+        "fc2": _linear(sd, f"{lp}.mlp.c_proj"),
+    }
+
+
+def is_openai_state_dict(sd: Mapping[str, Any]) -> bool:
+    """Distinguish OpenAI ``clip`` package checkpoints (what the reference's
+    count trainer saves — ``count_finetuner.py:29-30,210``) from HF
+    ``CLIPModel`` ones."""
+    return "visual.conv1.weight" in sd or "visual.class_embedding" in sd
+
+
+def params_from_openai_state_dict(sd: Mapping[str, Any],
+                                  cfg: CLIPConfig) -> Dict[str, Any]:
+    """Convert an OpenAI ``clip`` package ``model.state_dict()`` to our
+    param tree. This is the format the reference's count trainer
+    checkpoints carry (``/root/reference/finetune/count_finetuner.py:29``
+    loads ``clip.load("ViT-B/32")`` and :210 saves its state dict), which
+    even the reference's own HF-based evaluators cannot read (their
+    non-strict loads silently match nothing, ``cb_eval.py:53-61``).
+
+    Layout notes vs HF: attention q/k/v are fused (``in_proj_weight``),
+    the blocks are ``transformer.resblocks.{i}`` with ``ln_1/ln_2/
+    mlp.c_fc/mlp.c_proj``, and the projections are stored as plain
+    ``x @ proj`` matrices (no transpose needed, unlike torch Linear).
+    OpenAI ships fp16 weights; ``_to_np`` converts to fp32."""
+    sd = {re.sub(r"^(module\.|model\.)", "", k): v for k, v in sd.items()}
+    ps = cfg.vision.patch_size
+    dv, dt = cfg.vision.hidden_size, cfg.text.hidden_size
+
+    conv = _to_np(sd["visual.conv1.weight"])       # [D, 3, ps, ps], no bias
+    vision = {
+        "patch_embedding": {"kernel": jnp.asarray(
+            conv.transpose(2, 3, 1, 0).reshape(ps * ps * 3, -1))},
+        "class_embedding": jnp.asarray(
+            _to_np(sd["visual.class_embedding"]).reshape(-1)),
+        "position_embedding": jnp.asarray(
+            _to_np(sd["visual.positional_embedding"])),
+        "pre_layernorm": _layernorm(sd, "visual.ln_pre"),
+        "post_layernorm": _layernorm(sd, "visual.ln_post"),
+        "layers": _stack([_openai_block(sd,
+                                        f"visual.transformer.resblocks.{i}",
+                                        dv)
+                          for i in range(cfg.vision.num_layers)]),
+    }
+    text = {
+        "token_embedding": jnp.asarray(_to_np(sd["token_embedding.weight"])),
+        "position_embedding": jnp.asarray(
+            _to_np(sd["positional_embedding"])),
+        "final_layernorm": _layernorm(sd, "ln_final"),
+        "layers": _stack([_openai_block(sd, f"transformer.resblocks.{i}", dt)
+                          for i in range(cfg.text.num_layers)]),
+    }
+    return {
+        "vision": vision,
+        "text": text,
+        # x @ proj matrices, stored un-transposed (clip/model.py applies
+        # them as right-multiplications) — unlike torch Linear weights.
+        "visual_projection": {"kernel": jnp.asarray(_to_np(sd["visual.proj"]))},
+        "text_projection": {"kernel": jnp.asarray(
+            _to_np(sd["text_projection"]))},
+        "logit_scale": jnp.asarray(_to_np(sd["logit_scale"]).reshape(())),
+    }
+
+
+def _stack(layers):
+    import jax
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+
+
 def load_hf_clip(model_name: str = "openai/clip-vit-base-patch32"):
     """Convenience: pull weights via transformers (requires local HF cache;
     the judge environment has no egress) and convert. Returns (params, cfg)."""
@@ -122,7 +207,13 @@ def load_reference_checkpoint(path: str, cfg: CLIPConfig):
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt["model_state_dict"] if "model_state_dict" in ckpt else ckpt
-    params = params_from_hf_state_dict(sd, cfg)
+    # The reference writes two torch formats: HF CLIPModel state dicts
+    # (finetuner.py/dist_finetuner.py) and OpenAI clip-package ones
+    # (count_finetuner.py:210). Dispatch on the telltale keys.
+    if is_openai_state_dict(sd):
+        params = params_from_openai_state_dict(sd, cfg)
+    else:
+        params = params_from_hf_state_dict(sd, cfg)
     meta = {k: v for k, v in ckpt.items() if k != "model_state_dict"} \
         if isinstance(ckpt, dict) else {}
     return params, meta

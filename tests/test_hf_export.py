@@ -93,3 +93,64 @@ def test_exported_names_load_into_hf_clipmodel():
     result = model.load_state_dict(sd, strict=False)
     assert not result.unexpected_keys
     assert all(k.endswith("position_ids") for k in result.missing_keys)
+
+
+# ---------------------------------------------------------------------------
+# OpenAI clip-package format (the reference count trainer's checkpoints,
+# count_finetuner.py:29-30,210)
+# ---------------------------------------------------------------------------
+
+def test_openai_roundtrip_bitexact():
+    from clip_finegrained_alignment_tpu.models.hf_export import (
+        openai_state_dict_from_params)
+    from clip_finegrained_alignment_tpu.models.hf_import import (
+        is_openai_state_dict, params_from_openai_state_dict)
+
+    params = m.init_clip_params(jax.random.key(4), CFG)
+    sd = openai_state_dict_from_params(params, CFG)
+    assert is_openai_state_dict(sd)
+    assert "visual.transformer.resblocks.0.attn.in_proj_weight" in sd
+    assert sd["visual.transformer.resblocks.0.attn.in_proj_weight"].shape \
+        == (3 * CFG.vision.hidden_size, CFG.vision.hidden_size)
+    back = params_from_openai_state_dict(sd, CFG)
+    _assert_trees_equal(params, back)
+
+
+def test_openai_container_dispatch(tmp_path):
+    """load_reference_checkpoint must auto-detect the OpenAI naming —
+    the reference's own evaluators silently load NOTHING from these
+    checkpoints (non-strict HF loads match zero keys, cb_eval.py:53-61)."""
+    from clip_finegrained_alignment_tpu.models.hf_export import (
+        save_reference_checkpoint)
+
+    params = m.init_clip_params(jax.random.key(5), CFG)
+    path = str(tmp_path / "count_best.pt")
+    save_reference_checkpoint(path, params, CFG, global_step=7,
+                              best_loss=1.5, fmt="openai")
+    back, meta = load_reference_checkpoint(path, CFG)
+    _assert_trees_equal(params, back)
+    assert meta["global_step"] == 7
+
+
+def test_openai_forward_matches_torch_multihead_packing():
+    """The in_proj split must follow torch MultiheadAttention's (q, k, v)
+    row packing: rebuild per-projection outputs from the fused matrix and
+    compare with our per-projection linears."""
+    import torch
+    from clip_finegrained_alignment_tpu.models.hf_export import (
+        openai_state_dict_from_params)
+
+    params = m.init_clip_params(jax.random.key(6), CFG)
+    sd = openai_state_dict_from_params(params, CFG)
+    lp = jax.tree.map(lambda x: x[0], params["vision"]["layers"])
+    d = CFG.vision.hidden_size
+    x = np.random.default_rng(0).normal(size=(5, d)).astype(np.float32)
+    w = torch.from_numpy(
+        sd["visual.transformer.resblocks.0.attn.in_proj_weight"].copy())
+    b = torch.from_numpy(
+        sd["visual.transformer.resblocks.0.attn.in_proj_bias"].copy())
+    fused = (torch.from_numpy(x) @ w.T + b).numpy()     # [5, 3D], torch order
+    for i, name in enumerate(("q", "k", "v")):
+        ours = x @ np.asarray(lp[name]["kernel"]) + np.asarray(lp[name]["bias"])
+        np.testing.assert_allclose(fused[:, i * d:(i + 1) * d], ours,
+                                   rtol=1e-5, atol=1e-5)

@@ -116,3 +116,30 @@ def test_evaluate_vlmsblind_procedural(workdir):
     # the fixture provides 4 drawable tasks; the other 5 report 0 samples
     per_task_totals = [m["total_samples"] for m in metrics.values()]
     assert sum(1 for t in per_task_totals if t > 0) == 4
+
+
+def test_export_checkpoint_cli(workdir, capsys):
+    """orbax → reference .pt through the public CLI, both naming formats;
+    the emitted file must reload through the import half bit-exactly and
+    carry the training metadata (finetuner.py:256-273 container)."""
+    import jax
+    from clip_finegrained_alignment_tpu.cli.export_checkpoint import main
+    from clip_finegrained_alignment_tpu.config import CLIPConfig
+    from clip_finegrained_alignment_tpu.models.hf_import import (
+        load_reference_checkpoint)
+
+    best = workdir / "ckpts" / "cli_test" / "best"
+    assert best.is_dir()   # written by test_train_and_resume
+    cfg = CLIPConfig.from_name("tiny")
+    for fmt in ("hf", "openai"):
+        out = workdir / f"export_{fmt}.pt"
+        main(["--checkpoint", str(best), "--model", "tiny",
+              "--output", str(out), "--format", fmt])
+        params, meta = load_reference_checkpoint(str(out), cfg)
+        assert meta["global_step"] > 0          # meta.json carried over
+        assert len(jax.tree.leaves(params)) == 46
+    # quant flag round-trips through the trainer too (smoke: one epoch).
+    from clip_finegrained_alignment_tpu.cli.train import main as train_main
+    train_main(train_args(workdir, 1, ["--quant", "switchback",
+                                       "--experiment-name", "cli_quant"]))
+    assert (workdir / "ckpts" / "cli_quant" / "best").is_dir()

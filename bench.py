@@ -46,9 +46,16 @@ def main():
     # finetuner.py:299,306), so contrastive negatives-per-sample match the
     # reference semantics. Measured sweep: 32x8 = 791 pairs/s, 64x4 = 756,
     # flat 256 = 676 (smaller microbatches cut remat recompute traffic).
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    model_name = os.environ.get("BENCH_MODEL", "ViT-B/16")
+    # Per-model production regimes (BASELINE.md sweeps); explicit argv /
+    # env always win. ViT-B/32 — the model the reference actually
+    # trains — measures fastest at mb128 x 4 with accum-scan unroll 2
+    # (2369.7 pairs/s, perf/sweep_r3b.log); B/16 and L/14 at mb32 x 8,
+    # accum-unroll 1.
+    regime = {"ViT-B/32": (128, 4, 2)}.get(model_name, (32, 8, 1))
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else regime[0]
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    accum = int(os.environ.get("BENCH_ACCUM", "8"))
+    accum = int(os.environ.get("BENCH_ACCUM", str(regime[1])))
     # Pallas kernels are measured with BENCH_PALLAS=1; default off for the
     # driver run because each Pallas kernel adds ~5 min of remote-compile
     # time in this tunnel environment (the kernels themselves are
@@ -66,14 +73,14 @@ def main():
     # (BENCH_REMAT=dots, large batch / ViT-L).
     remat = os.environ.get("BENCH_REMAT", "0")
     remat = {"0": False, "1": True, "dots": "dots"}[remat]
-    model_name = os.environ.get("BENCH_MODEL", "ViT-B/16")
     unroll = int(os.environ.get("BENCH_UNROLL", "12"))
     # With the unstacked layout, accum-scan unroll 1 is fastest (1000 vs
     # 992 at unroll 2, 973 at 4; perf/sweep_r2h.log). In the stacked
     # layout unroll 2 was the winner (949 vs 926, sweep_r2f) — the
     # straight-line layers already give XLA the pipelining that
     # accum-unroll used to buy.
-    unroll_accum = int(os.environ.get("BENCH_ACCUM_UNROLL", "1"))
+    unroll_accum = int(os.environ.get("BENCH_ACCUM_UNROLL",
+                                      str(regime[2])))
     # Per-layer param leaves: each layer's weight grads get their own
     # buffers instead of update-slicing into the stacked [12, ...] buffer
     # — 1000.4 vs 951 pairs/s (perf/sweep_r2h.log, TRACE_ANALYSIS.md).

@@ -256,8 +256,12 @@ def _xla_attention(q, k, v, bias, scale):
 # the head-major relayout for the (b, h)-batched gemms either way), B/16
 # +1.1% (1012.1 vs 1001.2). Par-or-better on both ⇒ default. "bhsd" keeps
 # the torch-style explicit transposes (what the Pallas kernel path always
-# uses internally). Forward math is bit-identical either way (CPU-checked;
-# grads differ at fp32 rounding).
+# uses internally); "flat" additionally folds (B, H) into one rank-3 gemm
+# batch dim (_xla_attention_flat) — measured SLOWER on both models
+# (B/32 2306 vs 2377, B/16 971 vs 1012; perf/sweep_r3g.log): the explicit
+# transposes cost more than the layout copies they replace. Forward math
+# is bit-identical across layouts (CPU-checked; grads differ at fp32
+# rounding).
 def _attn_layout() -> str:
     return os.environ.get("CFA_ATTN_LAYOUT", "bshd")
 
@@ -273,6 +277,31 @@ def _xla_attention_bshd(q, k, v, bias, scale):
         logits = logits + bias.astype(acc)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _xla_attention_flat(q, k, v, bias, scale):
+    """Rank-3 attention: heads folded into the gemm batch dim. q,k,v
+    [B, H, S, Dh] → [B·H, S, Dh] so the score / weighted-sum contractions
+    are plain rank-3 batched gemms — a different HLO from the rank-4
+    einsum phrasings (which XLA canonicalizes to one program,
+    perf/sweep_r3a.log), probing whether the (b, h)-batch gemm layout
+    assignment behind the 34 GB/s relayout copies
+    (perf/TRACE_ANALYSIS.md round 3) is rank-sensitive. The bias add +
+    softmax round-trip through the rank-4 view (free reshapes: B, H are
+    leading contiguous dims). Returns [B, H, Sq, Dh]."""
+    B, H, S, Dh = q.shape
+    acc = jnp.float32 if (_fp32_probs() or q.dtype == jnp.float32) \
+        else q.dtype
+    qf = (q * scale).reshape(B * H, S, Dh)
+    kf = k.reshape(B * H, S, Dh)
+    vf = v.reshape(B * H, S, Dh)
+    logits = jnp.einsum("bqd,bkd->bqk", qf, kf,
+                        preferred_element_type=acc)
+    if bias is not None:
+        logits = (logits.reshape(B, H, S, S)
+                  + bias.astype(acc)).reshape(B * H, S, S)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bqk,bkd->bqd", probs, vf).reshape(B, H, S, Dh)
 
 
 def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False,
@@ -306,6 +335,8 @@ def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False,
     if use_pallas:
         from ..ops.attention import flash_attention
         out = flash_attention(q, k, v, bias, scale)
+    elif _attn_layout() == "flat":
+        out = _xla_attention_flat(q, k, v, bias, scale)
     else:
         out = _xla_attention(q, k, v, bias, scale)
 

@@ -371,3 +371,33 @@ def test_model_attention_pallas_bshd_path(rng, monkeypatch):
     want = m.attention(p, x, bias, H, dtype=jnp.float32, use_pallas=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_model_attention_flat_layout_matches_default(rng, monkeypatch):
+    """CFA_ATTN_LAYOUT=flat (rank-3 gemms, heads folded into the batch
+    dim) must be bit-identical to the default bshd layout at fp32 —
+    same math, different HLO phrasing (perf probe for the B/32 relayout
+    copies, models/clip.py::_xla_attention_flat)."""
+    from clip_finegrained_alignment_tpu.models import clip as m
+
+    B, S, D, H = 2, 9, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    p = {kk: {"kernel": jnp.asarray(rng.normal(size=(D, D)),
+                                    jnp.float32) * 0.1,
+              "bias": jnp.asarray(rng.normal(size=(D,)),
+                                  jnp.float32) * 0.1}
+         for kk in ("q", "k", "v", "out")}
+    bias = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)[None, None]
+
+    monkeypatch.setenv("CFA_ATTN_LAYOUT", "bshd")
+    want = m.attention(p, x, bias, H, dtype=jnp.float32)
+    monkeypatch.setenv("CFA_ATTN_LAYOUT", "flat")
+    got = m.attention(p, x, bias, H, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # and with no bias (vision-tower form)
+    monkeypatch.setenv("CFA_ATTN_LAYOUT", "bshd")
+    want = m.attention(p, x, None, H, dtype=jnp.float32)
+    monkeypatch.setenv("CFA_ATTN_LAYOUT", "flat")
+    got = m.attention(p, x, None, H, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -85,23 +85,31 @@ def load_params(args, model_cfg):
         print(f"loaded reference checkpoint {src}")
         return params
     if os.path.isdir(src):  # orbax checkpoint directory
-        import numpy as np
-        import orbax.checkpoint as ocp
-        # Restore as host numpy, ignoring the shardings the checkpoint was
-        # saved with — a checkpoint written on a v5e-8 mesh must load on a
-        # single eval chip (StandardCheckpointer.restore would demand the
-        # original device set).
-        ckptr = ocp.PyTreeCheckpointer()
-        tree = ckptr.metadata(os.path.abspath(src)).item_metadata.tree
-        restore_args = jax.tree.map(
-            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
-        state = ckptr.restore(os.path.abspath(src),
-                              args=ocp.args.PyTreeRestore(
-                                  restore_args=restore_args))
+        state = restore_orbax_tree(src)
         print(f"loaded orbax checkpoint {src}")
         return state["params"] if "params" in state else state
     params, _ = hf_import.load_hf_clip(src)
     return params
+
+
+def restore_orbax_tree(src):
+    """Structure-free orbax restore as host numpy, ignoring the shardings
+    the checkpoint was saved with — a checkpoint written on a v5e-8 mesh
+    must load on a single eval chip (StandardCheckpointer.restore would
+    demand the original device set). Returns the raw saved tree
+    (``{"params", "opt_state"}`` for training checkpoints; namedtuple
+    states come back as field-keyed dicts)."""
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.metadata(os.path.abspath(src)).item_metadata.tree
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckptr.restore(os.path.abspath(src),
+                         args=ocp.args.PyTreeRestore(
+                             restore_args=restore_args))
 
 
 def main(argv=None) -> None:

@@ -37,6 +37,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--global-step", type=int, default=None,
                    help="override global_step (default: the checkpoint's "
                         "meta.json when present, else 0)")
+    p.add_argument("--include-optimizer", action="store_true",
+                   help="also convert the AdamSPD optimizer state "
+                        "(moments, step, SPD anchors) so the file is a "
+                        "COMPLETE training checkpoint the reference's "
+                        "CLIPFineTuner.load_checkpoint can resume from "
+                        "(it restores optimizer_state_dict "
+                        "unconditionally, finetuner.py:237). Requires an "
+                        "orbax checkpoint trained with --optimizer "
+                        "adamspd and --format hf")
     return p
 
 
@@ -61,13 +70,41 @@ def main(argv=None) -> None:
                     meta = json.load(f)
                 break
 
+    opt_sd = None
+    if args.include_optimizer:
+        if args.format != "hf":
+            raise SystemExit("--include-optimizer requires --format hf "
+                             "(the clip-package parameter order cannot be "
+                             "oracle-pinned offline; optim/interop.py)")
+        if not os.path.isdir(args.checkpoint):
+            raise SystemExit("--include-optimizer needs an orbax training "
+                             "checkpoint directory (it holds the "
+                             "opt_state)")
+        from ..config import TrainConfig
+        from ..optim.interop import reference_optimizer_state_dict
+        from .evaluate import restore_orbax_tree
+        state = restore_orbax_tree(args.checkpoint)
+        if "opt_state" not in state:
+            raise SystemExit(f"{args.checkpoint} has no opt_state")
+        tc = TrainConfig()  # hyperparameter fallbacks
+        saved = meta.get("config") or {}
+        opt_sd = reference_optimizer_state_dict(
+            state["opt_state"], model_cfg,
+            lr=saved.get("lr", tc.lr),
+            betas=tuple(saved.get("betas", tc.betas)),
+            eps=saved.get("eps", tc.eps),
+            weight_decay=saved.get("weight_decay", tc.weight_decay),
+            amsgrad=bool(saved.get("amsgrad", tc.amsgrad)))
+
     save_reference_checkpoint(
         args.output, params, model_cfg,
         global_step=args.global_step if args.global_step is not None
         else int(meta.get("global_step", 0)),
         best_loss=float(meta.get("best_loss", float("inf"))),
-        config=meta.get("config", {}), fmt=args.format)
-    print(f"wrote {args.output} (reference torch-pickle format)")
+        config=meta.get("config", {}), optimizer_state_dict=opt_sd,
+        fmt=args.format)
+    print(f"wrote {args.output} (reference torch-pickle format"
+          + (", with optimizer state" if opt_sd is not None else "") + ")")
 
 
 if __name__ == "__main__":

@@ -95,6 +95,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="HF model name or reference .pt checkpoint to "
                         "initialize from (default: random init when "
                         "offline)")
+    p.add_argument("--import-optimizer-state", action="store_true",
+                   help="with --pretrained <reference .pt>: also restore "
+                        "the torch AdamSPD optimizer state (Adam moments, "
+                        "step count, SPD anchors) and global_step — a "
+                        "TRUE mid-run migration of a reference fine-tune. "
+                        "Without it the moments reset and SPD re-anchors "
+                        "at the mid-run weights (a silent semantics "
+                        "change; optim/interop.py)")
     p.add_argument("--bpe-path", default=None,
                    help="CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz or "
                         "an HF tokenizer dir). Required unless "
@@ -192,14 +200,14 @@ def main(argv=None) -> None:
           f"{pipeline.steps_per_epoch()} steps/epoch")
 
     # ---------------- params ----------------
-    params = None
+    params, ref_meta = None, {}
     if args.pretrained:
         from ..models import hf_import
         if args.pretrained.endswith((".pt", ".pth", ".bin")):
-            params, meta = hf_import.load_reference_checkpoint(
+            params, ref_meta = hf_import.load_reference_checkpoint(
                 args.pretrained, model_cfg)
             print(f"loaded reference checkpoint (step "
-                  f"{meta.get('global_step')})")
+                  f"{ref_meta.get('global_step')})")
         else:
             params, _ = hf_import.load_hf_clip(args.pretrained)
             print(f"loaded HF weights: {args.pretrained}")
@@ -225,6 +233,35 @@ def main(argv=None) -> None:
         start_epoch = trainer.global_step // max(
             1, pipeline.steps_per_epoch())
         print(f"resumed from {ckpt_dir}/best at epoch {start_epoch}")
+    elif args.import_optimizer_state:
+        # True mid-run migration of a reference fine-tune: restore the
+        # torch AdamSPD moments / step / SPD anchors alongside the
+        # weights (the reference's load_checkpoint does the same,
+        # finetuner.py:232-241). optim/interop.py converts the state.
+        if not ref_meta:
+            raise SystemExit("--import-optimizer-state requires "
+                             "--pretrained <reference .pt checkpoint>")
+        if cfg.optimizer_type != "adamspd":
+            raise SystemExit("--import-optimizer-state converts AdamSPD "
+                             "state; run with --optimizer adamspd")
+        opt_sd = ref_meta.get("optimizer_state_dict")
+        if opt_sd is None:
+            raise SystemExit(f"{args.pretrained} carries no "
+                             "optimizer_state_dict")
+        from ..optim.interop import (adamspd_state_from_reference,
+                                     replace_adamspd_state)
+        spd = adamspd_state_from_reference(opt_sd, model_cfg)
+        ck_params, ck_opt = trainer.to_checkpoint_format()
+        trainer.from_checkpoint_format(
+            ck_params, replace_adamspd_state(ck_opt, spd))
+        trainer.global_step = int(ref_meta.get("global_step",
+                                               int(spd.count)))
+        trainer.best_loss = float(ref_meta.get("best_loss", float("inf")))
+        start_epoch = trainer.global_step // max(
+            1, pipeline.steps_per_epoch())
+        print(f"imported reference optimizer state (step "
+              f"{trainer.global_step}, SPD anchors restored); resuming "
+              f"at epoch {start_epoch}")
 
     metrics_log = MetricsLogger(args.metrics_file)
     meter = ThroughputMeter()

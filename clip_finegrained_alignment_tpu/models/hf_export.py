@@ -150,13 +150,21 @@ def save_reference_checkpoint(path: str, params: Mapping[str, Any],
                               global_step: int = 0,
                               best_loss: float = float("inf"),
                               config: Optional[dict] = None,
+                              optimizer_state_dict: Optional[dict] = None,
                               fmt: str = "hf") -> None:
     """Write a torch-pickle checkpoint in the reference's training format
     (``model_state_dict`` + ``global_step`` + ``best_loss`` + ``config``,
-    ``finetuner.py:256-273``) loadable by ``CLIPFineTuner.load_checkpoint``
+    ``finetuner.py:256-273``) loadable by ``CLIPModel.load_state_dict``
     and every reference evaluator's ``--checkpoint`` flag. ``fmt="openai"``
     emits OpenAI clip-package names instead (the count trainer's resume
-    format, ``count_finetuner.py:223-234``)."""
+    format, ``count_finetuner.py:223-234``).
+
+    ``optimizer_state_dict`` (a torch ``AdamSPD.state_dict()``, built by
+    ``optim.interop.reference_optimizer_state_dict``) makes the file a
+    COMPLETE training checkpoint: the reference's
+    ``CLIPFineTuner.load_checkpoint`` restores the optimizer
+    unconditionally (``finetuner.py:237``), so without it the file serves
+    evaluators/weight loads but not a reference-side training resume."""
     import torch
 
     to_sd = openai_state_dict_from_params if fmt == "openai" \
@@ -164,9 +172,12 @@ def save_reference_checkpoint(path: str, params: Mapping[str, Any],
     # copy: device_get arrays are non-writable; torch wants owned memory.
     sd = {k: torch.from_numpy(np.array(a, copy=True))
           for k, a in to_sd(params, cfg).items()}
-    torch.save({
+    out = {
         "model_state_dict": sd,
         "global_step": int(global_step),
         "best_loss": float(best_loss),
         "config": dict(config or {}),
-    }, path)
+    }
+    if optimizer_state_dict is not None:
+        out["optimizer_state_dict"] = optimizer_state_dict
+    torch.save(out, path)

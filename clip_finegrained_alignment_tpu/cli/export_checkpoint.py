@@ -38,14 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override global_step (default: the checkpoint's "
                         "meta.json when present, else 0)")
     p.add_argument("--include-optimizer", action="store_true",
-                   help="also convert the AdamSPD optimizer state "
-                        "(moments, step, SPD anchors) so the file is a "
-                        "COMPLETE training checkpoint the reference's "
+                   help="also convert the optimizer state (AdamSPD "
+                        "moments/step/SPD-anchors, or the two-group "
+                        "AdamW state) so the file is a COMPLETE training "
+                        "checkpoint the reference's "
                         "CLIPFineTuner.load_checkpoint can resume from "
                         "(it restores optimizer_state_dict "
                         "unconditionally, finetuner.py:237). Requires an "
-                        "orbax checkpoint trained with --optimizer "
-                        "adamspd and --format hf")
+                        "orbax training checkpoint and --format hf")
     return p
 
 
@@ -81,20 +81,26 @@ def main(argv=None) -> None:
                              "checkpoint directory (it holds the "
                              "opt_state)")
         from ..config import TrainConfig
-        from ..optim.interop import reference_optimizer_state_dict
+        from ..optim import interop
         from .evaluate import restore_orbax_tree
         state = restore_orbax_tree(args.checkpoint)
         if "opt_state" not in state:
             raise SystemExit(f"{args.checkpoint} has no opt_state")
         tc = TrainConfig()  # hyperparameter fallbacks
         saved = meta.get("config") or {}
-        opt_sd = reference_optimizer_state_dict(
-            state["opt_state"], model_cfg,
-            lr=saved.get("lr", tc.lr),
-            betas=tuple(saved.get("betas", tc.betas)),
-            eps=saved.get("eps", tc.eps),
-            weight_decay=saved.get("weight_decay", tc.weight_decay),
-            amsgrad=bool(saved.get("amsgrad", tc.amsgrad)))
+        hp = dict(lr=saved.get("lr", tc.lr),
+                  betas=tuple(saved.get("betas", tc.betas)),
+                  eps=saved.get("eps", tc.eps),
+                  weight_decay=saved.get("weight_decay", tc.weight_decay))
+        # Dispatch on what the opt_state actually holds: AdamSPD (one
+        # group + 'pre' anchors) or the reference's two-group AdamW.
+        if interop.find_adamspd_state(state["opt_state"]) is not None:
+            opt_sd = interop.reference_optimizer_state_dict(
+                state["opt_state"], model_cfg,
+                amsgrad=bool(saved.get("amsgrad", tc.amsgrad)), **hp)
+        else:
+            opt_sd = interop.reference_adamw_optimizer_state_dict(
+                state["opt_state"], model_cfg, **hp)
 
     save_reference_checkpoint(
         args.output, params, model_cfg,

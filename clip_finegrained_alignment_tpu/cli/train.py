@@ -97,8 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "offline)")
     p.add_argument("--import-optimizer-state", action="store_true",
                    help="with --pretrained <reference .pt>: also restore "
-                        "the torch AdamSPD optimizer state (Adam moments, "
-                        "step count, SPD anchors) and global_step — a "
+                        "the torch optimizer state (AdamSPD or AdamW per "
+                        "--optimizer: Adam moments, step count, SPD "
+                        "anchors) and global_step — a "
                         "TRUE mid-run migration of a reference fine-tune. "
                         "Without it the moments reset and SPD re-anchors "
                         "at the mid-run weights (a silent semantics "
@@ -241,21 +242,23 @@ def main(argv=None) -> None:
         if not ref_meta:
             raise SystemExit("--import-optimizer-state requires "
                              "--pretrained <reference .pt checkpoint>")
-        if cfg.optimizer_type != "adamspd":
-            raise SystemExit("--import-optimizer-state converts AdamSPD "
-                             "state; run with --optimizer adamspd")
         opt_sd = ref_meta.get("optimizer_state_dict")
         if opt_sd is None:
             raise SystemExit(f"{args.pretrained} carries no "
                              "optimizer_state_dict")
-        from ..optim.interop import (adamspd_state_from_reference,
-                                     replace_adamspd_state)
-        spd = adamspd_state_from_reference(opt_sd, model_cfg)
+        from ..optim import interop
         ck_params, ck_opt = trainer.to_checkpoint_format()
-        trainer.from_checkpoint_format(
-            ck_params, replace_adamspd_state(ck_opt, spd))
+        if cfg.optimizer_type == "adamspd":
+            imported = interop.adamspd_state_from_reference(opt_sd,
+                                                            model_cfg)
+            ck_opt = interop.replace_adamspd_state(ck_opt, imported)
+        else:
+            imported = interop.adamw_state_from_reference(opt_sd,
+                                                          model_cfg)
+            ck_opt = interop.replace_scale_by_adam(ck_opt, imported)
+        trainer.from_checkpoint_format(ck_params, ck_opt)
         trainer.global_step = int(ref_meta.get("global_step",
-                                               int(spd.count)))
+                                               int(imported.count)))
         trainer.best_loss = float(ref_meta.get("best_loss", float("inf")))
         start_epoch = trainer.global_step // max(
             1, pipeline.steps_per_epoch())

@@ -1,4 +1,4 @@
-"""Reference (torch) AdamSPD optimizer-state interop.
+"""Reference (torch) optimizer-state interop — AdamSPD and AdamW.
 
 The reference's training checkpoints carry the full
 ``optimizer_state_dict`` (``/root/reference/finetune/finetuner.py:260``)
@@ -26,6 +26,12 @@ so the transpose/reshape rules are identical.
 Step-count semantics line up exactly: torch increments ``state['step']``
 before computing bias corrections (``optimizers.py:80-83``), our
 ``update_fn`` uses ``count + 1`` — after k steps both hold k.
+
+The reference's other optimizer — plain ``torch.optim.AdamW`` with the
+two-group decay split (``finetuner.py:61-79,102-103``) — converts the
+same way (``adamw_state_from_reference`` /
+``reference_adamw_optimizer_state_dict``): positions run across the
+concatenated groups, decay group first.
 
 The OpenAI clip-package naming (the count trainer) stays model-state
 only: its parameter ORDER comes from the external ``clip`` package's
@@ -236,3 +242,158 @@ def reference_optimizer_state_dict(opt_state: Any, cfg: CLIPConfig, *,
              "pre": [anchor_sd[name] for name in order],
              "params": list(range(len(order)))}
     return {"state": packed, "param_groups": [group]}
+
+
+# ---------------------------------------------------------------------------
+# AdamW (the reference's non-SPD path, finetuner.py:70-79,102-103)
+# ---------------------------------------------------------------------------
+
+def adamw_group_orders(cfg: CLIPConfig):
+    """The reference's AdamW uses TWO param groups split by the literal
+    name filter ``"ln" in name or "bn" in name or "bias" in name``
+    (``finetuner.py:64-68``) — against HF CLIP's actual names only
+    ``"bias"`` ever matches (pinned in tests). torch assigns state
+    indices across the concatenated groups in order, so the global
+    position → name map is decay-group names followed by no-decay-group
+    names."""
+    no_decay = lambda n: "ln" in n or "bn" in n or "bias" in n
+    order = hf_named_parameter_order(cfg)
+    return ([n for n in order if not no_decay(n)],
+            [n for n in order if no_decay(n)])
+
+
+def _find_scale_by_adam(tree: Any):
+    """Locate the (single) optax ``ScaleByAdamState`` — live namedtuple
+    or the orbax raw-restore dict form (keys count/mu/nu)."""
+    import optax
+
+    found = []
+
+    def walk(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            found.append(node)
+            return
+        if isinstance(node, AdamSPDState):
+            return
+        if isinstance(node, Mapping):
+            if set(node.keys()) == {"count", "mu", "nu"}:
+                found.append(optax.ScaleByAdamState(
+                    count=node["count"], mu=node["mu"], nu=node["nu"]))
+                return
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(tree)
+    if len(found) > 1:
+        raise ValueError(f"{len(found)} ScaleByAdamState in the opt_state")
+    return found[0] if found else None
+
+
+def adamw_state_from_reference(opt_sd: Mapping[str, Any], cfg: CLIPConfig):
+    """torch ``AdamW.state_dict()`` (reference two-group wiring) → an
+    optax ``ScaleByAdamState`` with stacked-layers param trees. Inject it
+    with ``replace_scale_by_adam``."""
+    import optax
+
+    from ..models.hf_import import params_from_hf_state_dict
+
+    groups = opt_sd["param_groups"]
+    if any("pre" in g for g in groups):
+        raise ValueError("checkpoint carries AdamSPD state — use "
+                         "adamspd_state_from_reference")
+    decay, no_decay = adamw_group_orders(cfg)
+    expect = [decay, no_decay] if len(groups) == 2 else \
+        [decay + no_decay]  # single-group AdamW (not the finetuner wiring)
+    if [len(g["params"]) for g in groups] != [len(e) for e in expect]:
+        raise ValueError(
+            f"group sizes {[len(g['params']) for g in groups]} do not "
+            f"match the reference decay split {[len(e) for e in expect]} "
+            "for this model config")
+    pos_name: Dict[int, str] = {}
+    for g, names in zip(groups, expect):
+        for idx, name in zip(g["params"], names):
+            pos_name[int(idx)] = name
+    state = {int(k): v for k, v in opt_sd["state"].items()}
+    missing = [i for i in pos_name if i not in state]
+    if missing:
+        raise ValueError(f"{len(missing)} params have no optimizer state "
+                         f"(e.g. index {missing[0]})")
+    steps = {_scalar(state[i]["step"]) for i in pos_name}
+    if len(steps) != 1:
+        raise ValueError(f"non-uniform per-param step counts "
+                         f"{sorted(steps)}")
+    mu = params_from_hf_state_dict(
+        {n: state[i]["exp_avg"] for i, n in pos_name.items()}, cfg)
+    nu = params_from_hf_state_dict(
+        {n: state[i]["exp_avg_sq"] for i, n in pos_name.items()}, cfg)
+    return optax.ScaleByAdamState(
+        count=jnp.asarray(steps.pop(), jnp.int32), mu=mu, nu=nu)
+
+
+def replace_scale_by_adam(opt_state: Any, new_state) -> Any:
+    """Swap the ScaleByAdamState inside a live optax opt_state tree."""
+    import optax
+
+    hits = []
+
+    def walk(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            hits.append(True)
+            return new_state
+        if isinstance(node, tuple):
+            mapped = [walk(v) for v in node]
+            return type(node)(*mapped) if hasattr(node, "_fields") \
+                else tuple(mapped)
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    out = walk(opt_state)
+    if len(hits) != 1:
+        raise ValueError(f"expected exactly one ScaleByAdamState, found "
+                         f"{len(hits)} — is the optimizer 'adamw'?")
+    return out
+
+
+def reference_adamw_optimizer_state_dict(opt_state: Any, cfg: CLIPConfig,
+                                         *, lr: float, betas, eps: float,
+                                         weight_decay: float
+                                         ) -> Dict[str, Any]:
+    """Our adamw opt_state → a torch ``AdamW.state_dict()`` with the
+    reference's two-group decay split (``finetuner.py:70-79``), loadable
+    by ``optimizer.load_state_dict`` on the reference side."""
+    import torch
+
+    from ..models.hf_export import hf_state_dict_from_params
+
+    state = _find_scale_by_adam(opt_state)
+    if state is None:
+        raise ValueError("no ScaleByAdamState found — the checkpoint was "
+                         "not trained with adamw")
+
+    def to_sd(tree):
+        sd = hf_state_dict_from_params(tree, cfg)
+        return {k: torch.from_numpy(np.array(v, copy=True))
+                for k, v in sd.items()}
+
+    mu_sd, nu_sd = to_sd(state.mu), to_sd(state.nu)
+    decay, no_decay = adamw_group_orders(cfg)
+    step = torch.tensor(float(_scalar(np.asarray(state.count))))
+    packed: Dict[int, Dict[str, Any]] = {}
+    for i, name in enumerate(decay + no_decay):
+        packed[i] = {"step": step.clone(), "exp_avg": mu_sd[name],
+                     "exp_avg_sq": nu_sd[name]}
+    base = dict(lr=float(lr), betas=tuple(betas), eps=float(eps),
+                amsgrad=False, maximize=False, foreach=None,
+                capturable=False, differentiable=False, fused=None,
+                decoupled_weight_decay=True)
+    g0 = dict(base, weight_decay=float(weight_decay),
+              params=list(range(len(decay))))
+    g1 = dict(base, weight_decay=0.0,
+              params=list(range(len(decay), len(decay) + len(no_decay))))
+    return {"state": packed, "param_groups": [g0, g1]}

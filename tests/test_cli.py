@@ -180,3 +180,18 @@ def test_optimizer_state_interop_cli(workdir, capsys):
                        "meta.json").read_text())
     assert meta["global_step"] == 4  # 2 imported + 2 (one more epoch)
     assert meta["epoch"] == 1
+
+    # AdamW variant (the reference's two-group decay split): cli_test
+    # trained with the default --optimizer adamw.
+    out_w = workdir / "export_adamw.pt"
+    export_main(["--checkpoint", str(workdir / "ckpts" / "cli_test" /
+                                     "best"),
+                 "--model", "tiny", "--output", str(out_w),
+                 "--include-optimizer"])
+    ckpt_w = torch.load(str(out_w), map_location="cpu", weights_only=False)
+    groups = ckpt_w["optimizer_state_dict"]["param_groups"]
+    assert len(groups) == 2 and groups[1]["weight_decay"] == 0.0
+    train_main(train_args(workdir, 3, ["--experiment-name", "cli_w_mig",
+                                       "--pretrained", str(out_w),
+                                       "--import-optimizer-state"]))
+    assert "imported reference optimizer state" in capsys.readouterr().out

@@ -200,3 +200,100 @@ def test_import_export_roundtrip_bitexact():
     # and replace_adamspd_state installs it back into the chain state
     swapped = interop.replace_adamspd_state(state, back)
     assert interop.find_adamspd_state(swapped) is back
+
+
+# ---------------------------------------------------------------------------
+# AdamW (the reference's non-SPD path: two-group decay split,
+# finetuner.py:61-79,102-103)
+# ---------------------------------------------------------------------------
+
+def _ref_adamw(model):
+    """The finetuner's configure_optimizer AdamW wiring: decay /
+    no-decay groups split by the literal name filter (finetuner.py:64-68)."""
+    decay, no_decay = [], []
+    for name, param in model.named_parameters():
+        if "ln" in name or "bn" in name or "bias" in name:
+            no_decay.append(param)
+        else:
+            decay.append(param)
+    return torch.optim.AdamW(
+        [{"params": decay, "weight_decay": HP["weight_decay"]},
+         {"params": no_decay, "weight_decay": 0.0}],
+        lr=HP["lr"], betas=HP["betas"], eps=HP["eps"])
+
+
+def _our_adamw():
+    tc = TrainConfig(optimizer_type="adamw", lr=HP["lr"], betas=HP["betas"],
+                     eps=HP["eps"], weight_decay=HP["weight_decay"],
+                     max_grad_norm=1e9)
+    # decay_mask is path-based, so any params-shaped tree works here
+    return make_optimizer(tc, m.init_clip_params(jax.random.key(0), CFG))
+
+
+def test_adamw_group_split_matches_reference_filter():
+    """The reference's 'ln|bn|bias' filter on real HF CLIP names catches
+    only biases (factory.decay_mask's documented premise) — pinned
+    against the live name set."""
+    model = _hf_model()
+    no_decay = [n for n, _ in model.named_parameters()
+                if "ln" in n or "bn" in n or "bias" in n]
+    assert no_decay and all(n.endswith("bias") for n in no_decay)
+    decay, nd = interop.adamw_group_orders(CFG)
+    assert nd == no_decay
+    assert decay + nd and len(decay) + len(nd) == \
+        len(interop.hf_named_parameter_order(CFG))
+
+
+def test_import_adamw_midrun_continues_reference_trajectory():
+    model = _hf_model()
+    opt_t = _ref_adamw(model)
+    for s in range(3):
+        _torch_step(model, opt_t, _grads(model, s))
+
+    params = params_from_hf_state_dict(
+        {k: v.clone() for k, v in model.state_dict().items()}, CFG)
+    imported = interop.adamw_state_from_reference(opt_t.state_dict(), CFG)
+    assert int(imported.count) == 3
+
+    opt_j = _our_adamw()
+    state = interop.replace_scale_by_adam(opt_j.init(params), imported)
+    for s in range(3, 6):
+        g = _grads(model, s)
+        gt = params_from_hf_state_dict(g, CFG)
+        upd, state = opt_j.update(gt, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, upd)
+        _torch_step(model, opt_t, g)
+
+    _assert_tree_close(params, params_from_hf_state_dict(
+        model.state_dict(), CFG))
+
+
+def test_export_adamw_state_loads_into_reference():
+    params = m.init_clip_params(jax.random.key(11), CFG)
+    opt_j = _our_adamw()
+    state = opt_j.init(params)
+    model = _hf_model()  # shape donor for named grads
+    for s in range(20, 23):
+        g = _grads(model, s)
+        gt = params_from_hf_state_dict(g, CFG)
+        upd, state = opt_j.update(gt, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, upd)
+
+    sd_opt = interop.reference_adamw_optimizer_state_dict(
+        state, CFG, lr=HP["lr"], betas=HP["betas"], eps=HP["eps"],
+        weight_decay=HP["weight_decay"])
+    sd_model = {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+                for k, v in hf_state_dict_from_params(params, CFG).items()}
+    model.load_state_dict(sd_model, strict=False)
+    opt_t = _ref_adamw(model)
+    opt_t.load_state_dict(sd_opt)
+
+    for s in range(23, 25):
+        g = _grads(model, s)
+        gt = params_from_hf_state_dict(g, CFG)
+        upd, state = opt_j.update(gt, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, upd)
+        _torch_step(model, opt_t, g)
+
+    _assert_tree_close(params, params_from_hf_state_dict(
+        model.state_dict(), CFG))

@@ -43,8 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--similarity-threshold", type=float, default=0.5)
     p.add_argument("--experiment-name", default="clip_finetune")
     p.add_argument("--checkpoint-dir", default="checkpoints")
-    p.add_argument("--resume", action="store_true",
-                   help="resume from the best checkpoint if present")
+    p.add_argument("--resume", nargs="?", const=True, default=False,
+                   metavar="STEP_DIR",
+                   help="resume from the best checkpoint if present, or "
+                        "from an explicit orbax step directory (the "
+                        "reference's --resume <path> semantics, "
+                        "finetuner.py:286,339-342)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--save-every", type=int, default=5)
     # TPU-native knobs.
@@ -220,20 +224,37 @@ def main(argv=None) -> None:
     trainer = Trainer(cfg, params=params, mesh=mesh,
                       checkpoint_manager=manager)
 
+    # Resume source: bare --resume = <ckpt-dir>/<exp>/best; --resume
+    # <path> = an explicit orbax step dir (the reference's resume-by-path,
+    # finetuner.py:286).
+    resume_dir, resume_step = None, None
+    if isinstance(args.resume, str):
+        path = os.path.abspath(args.resume.rstrip("/"))
+        if not os.path.isdir(path):
+            raise SystemExit(f"--resume {args.resume}: no such "
+                             "checkpoint directory")
+        resume_dir, resume_step = os.path.dirname(path), \
+            os.path.basename(path)
+    elif args.resume and os.path.isdir(os.path.join(ckpt_dir, "best")):
+        resume_dir, resume_step = ckpt_dir, "best"
+
     start_epoch = 0
-    if args.resume and os.path.isdir(os.path.join(ckpt_dir, "best")):
+    if resume_step is not None:
         # Checkpoints always store the stacked-layers layout (engine.py
         # to_checkpoint_format), so `like` must too.
         ck_params, ck_opt = trainer.to_checkpoint_format()
         like = {"params": ck_params, "opt_state": ck_opt}
-        state, meta = manager.restore("best", like=like, config=cfg)
+        src = manager if resume_dir == ckpt_dir else \
+            CheckpointManager(resume_dir, save_every=cfg.save_every)
+        state, meta = src.restore(resume_step, like=like, config=cfg)
         trainer.from_checkpoint_format(state["params"], state["opt_state"])
         trainer.global_step = meta.get("global_step", 0)
         trainer.best_loss = meta.get("best_loss", float("inf"))
         # start epoch from global_step, as finetuner.py:339-342
         start_epoch = trainer.global_step // max(
             1, pipeline.steps_per_epoch())
-        print(f"resumed from {ckpt_dir}/best at epoch {start_epoch}")
+        print(f"resumed from {resume_dir}/{resume_step} at epoch "
+              f"{start_epoch}")
     elif args.import_optimizer_state:
         # True mid-run migration of a reference fine-tune: restore the
         # torch AdamSPD moments / step / SPD anchors alongside the

@@ -195,3 +195,22 @@ def test_optimizer_state_interop_cli(workdir, capsys):
                                        "--pretrained", str(out_w),
                                        "--import-optimizer-state"]))
     assert "imported reference optimizer state" in capsys.readouterr().out
+
+
+def test_resume_from_explicit_path(workdir, capsys):
+    """--resume <step-dir>: the reference's resume-by-path semantics
+    (finetuner.py:286) — restore an arbitrary orbax step dir into a
+    fresh experiment and continue the epoch arithmetic from its
+    global_step."""
+    from clip_finegrained_alignment_tpu.cli.train import main
+
+    step_dir = workdir / "ckpts" / "cli_test" / "epoch_1"
+    assert step_dir.is_dir()  # written by test_train_and_resume
+    main(train_args(workdir, 3, ["--resume", str(step_dir),
+                                 "--experiment-name", "cli_path_resume"]))
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "epoch_1" in out
+    meta = json.loads((workdir / "ckpts" / "cli_path_resume" / "epoch_2" /
+                       "meta.json").read_text())
+    assert meta["global_step"] == 6  # 4 restored + 2 (one more epoch)
+    assert meta["epoch"] == 2

@@ -57,7 +57,25 @@ def main(argv=None) -> None:
     from .evaluate import load_params
 
     model_cfg = CLIPConfig.from_name(args.model)
-    params = load_params(args, model_cfg)
+    orbax_state = None
+    if args.include_optimizer:
+        if args.format != "hf":
+            raise SystemExit("--include-optimizer requires --format hf "
+                             "(the clip-package parameter order cannot be "
+                             "oracle-pinned offline; optim/interop.py)")
+        if not os.path.isdir(args.checkpoint):
+            raise SystemExit("--include-optimizer needs an orbax training "
+                             "checkpoint directory (it holds the "
+                             "opt_state)")
+        from .evaluate import restore_orbax_tree
+        # One restore serves both halves — the full tree is several GB
+        # for ViT-L/14, so don't deserialize it twice.
+        orbax_state = restore_orbax_tree(args.checkpoint)
+        if "opt_state" not in orbax_state:
+            raise SystemExit(f"{args.checkpoint} has no opt_state")
+        params = orbax_state["params"]
+    else:
+        params = load_params(args, model_cfg)
 
     # Carry training metadata over when exporting an orbax step dir whose
     # parent holds the manager's meta.json (train/checkpoint.py).
@@ -71,21 +89,9 @@ def main(argv=None) -> None:
                 break
 
     opt_sd = None
-    if args.include_optimizer:
-        if args.format != "hf":
-            raise SystemExit("--include-optimizer requires --format hf "
-                             "(the clip-package parameter order cannot be "
-                             "oracle-pinned offline; optim/interop.py)")
-        if not os.path.isdir(args.checkpoint):
-            raise SystemExit("--include-optimizer needs an orbax training "
-                             "checkpoint directory (it holds the "
-                             "opt_state)")
+    if orbax_state is not None:
         from ..config import TrainConfig
         from ..optim import interop
-        from .evaluate import restore_orbax_tree
-        state = restore_orbax_tree(args.checkpoint)
-        if "opt_state" not in state:
-            raise SystemExit(f"{args.checkpoint} has no opt_state")
         tc = TrainConfig()  # hyperparameter fallbacks
         saved = meta.get("config") or {}
         hp = dict(lr=saved.get("lr", tc.lr),
@@ -94,13 +100,13 @@ def main(argv=None) -> None:
                   weight_decay=saved.get("weight_decay", tc.weight_decay))
         # Dispatch on what the opt_state actually holds: AdamSPD (one
         # group + 'pre' anchors) or the reference's two-group AdamW.
-        if interop.find_adamspd_state(state["opt_state"]) is not None:
+        if interop.find_adamspd_state(orbax_state["opt_state"]) is not None:
             opt_sd = interop.reference_optimizer_state_dict(
-                state["opt_state"], model_cfg,
+                orbax_state["opt_state"], model_cfg,
                 amsgrad=bool(saved.get("amsgrad", tc.amsgrad)), **hp)
         else:
             opt_sd = interop.reference_adamw_optimizer_state_dict(
-                state["opt_state"], model_cfg, **hp)
+                orbax_state["opt_state"], model_cfg, **hp)
 
     save_reference_checkpoint(
         args.output, params, model_cfg,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import warnings
 
 import numpy as np
 
@@ -33,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["clip", "sparc", "count", "clip_count"])
     p.add_argument("--optimizer", default="adamw",
                    choices=["adamw", "adamspd"])
+    p.add_argument("--amsgrad", action="store_true",
+                   help="amsgrad moment maxima for AdamSPD "
+                        "(optimizers.py:131-135; config.py:27)")
     p.add_argument("--lr", type=float, default=2e-5)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--grad-accum", type=int, default=4)
@@ -150,7 +154,8 @@ def main(argv=None) -> None:
         experiment_name=args.experiment_name, loss_type=args.loss_type,
         similarity_threshold=args.similarity_threshold,
         inverse_temperature=args.inverse_temperature,
-        optimizer_type=args.optimizer, count_alpha=args.count_alpha,
+        optimizer_type=args.optimizer, amsgrad=args.amsgrad,
+        count_alpha=args.count_alpha,
         seed=args.seed, use_pallas_attention=args.pallas,
         use_fused_sparc=args.pallas or args.fused_sparc,
         unroll_layers=args.unroll_layers, unroll_accum=args.unroll_accum,
@@ -227,6 +232,9 @@ def main(argv=None) -> None:
     # Resume source: bare --resume = <ckpt-dir>/<exp>/best; --resume
     # <path> = an explicit orbax step dir (the reference's resume-by-path,
     # finetuner.py:286).
+    if args.resume and args.import_optimizer_state:
+        raise SystemExit("--resume and --import-optimizer-state both "
+                         "restore optimizer state — pick one source")
     resume_dir, resume_step = None, None
     if isinstance(args.resume, str):
         path = os.path.abspath(args.resume.rstrip("/"))
@@ -236,7 +244,7 @@ def main(argv=None) -> None:
         resume_dir, resume_step = os.path.dirname(path), \
             os.path.basename(path)
     elif args.resume and os.path.isdir(os.path.join(ckpt_dir, "best")):
-        resume_dir, resume_step = ckpt_dir, "best"
+        resume_dir, resume_step = os.path.abspath(ckpt_dir), "best"
 
     start_epoch = 0
     if resume_step is not None:
@@ -244,7 +252,7 @@ def main(argv=None) -> None:
         # to_checkpoint_format), so `like` must too.
         ck_params, ck_opt = trainer.to_checkpoint_format()
         like = {"params": ck_params, "opt_state": ck_opt}
-        src = manager if resume_dir == ckpt_dir else \
+        src = manager if resume_dir == os.path.abspath(ckpt_dir) else \
             CheckpointManager(resume_dir, save_every=cfg.save_every)
         state, meta = src.restore(resume_step, like=like, config=cfg)
         trainer.from_checkpoint_format(state["params"], state["opt_state"])
@@ -268,6 +276,28 @@ def main(argv=None) -> None:
             raise SystemExit(f"{args.pretrained} carries no "
                              "optimizer_state_dict")
         from ..optim import interop
+        # The reference restores optimizer HYPERPARAMETERS with the state
+        # (torch load_state_dict replaces param_groups); ours come from
+        # the CLI flags, so surface any drift loudly instead of silently
+        # following a different trajectory from step k+1.
+        g0 = opt_sd["param_groups"][0]
+        for key, ours in (("lr", cfg.lr), ("betas", tuple(cfg.betas)),
+                          ("eps", cfg.eps),
+                          ("weight_decay", cfg.weight_decay)):
+            theirs = g0.get(key)
+            theirs = tuple(theirs) if isinstance(theirs, (list, tuple)) \
+                else theirs
+            if theirs is not None and theirs != ours:
+                warnings.warn(
+                    f"optimizer hyperparameter drift on import: checkpoint "
+                    f"{key}={theirs!r}, this run uses {ours!r} — pass the "
+                    f"matching flag for an exact reference continuation")
+        if bool(g0.get("amsgrad", False)) != cfg.amsgrad:
+            raise SystemExit(
+                f"checkpoint amsgrad={g0.get('amsgrad')} but this run has "
+                f"amsgrad={cfg.amsgrad} — rerun with --amsgrad matching "
+                "the checkpoint (importing across the mismatch would "
+                "silently drop or fabricate the nu_max maxima)")
         ck_params, ck_opt = trainer.to_checkpoint_format()
         if cfg.optimizer_type == "adamspd":
             imported = interop.adamspd_state_from_reference(opt_sd,

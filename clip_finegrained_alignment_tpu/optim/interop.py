@@ -305,8 +305,11 @@ def adamw_state_from_reference(opt_sd: Mapping[str, Any], cfg: CLIPConfig):
         raise ValueError("checkpoint carries AdamSPD state — use "
                          "adamspd_state_from_reference")
     decay, no_decay = adamw_group_orders(cfg)
+    # Two groups = the finetuner's decay split (positions run decay group
+    # first); one group = plain AdamW(model.parameters()) whose positions
+    # are simply registration order.
     expect = [decay, no_decay] if len(groups) == 2 else \
-        [decay + no_decay]  # single-group AdamW (not the finetuner wiring)
+        [hf_named_parameter_order(cfg)]
     if [len(g["params"]) for g in groups] != [len(e) for e in expect]:
         raise ValueError(
             f"group sizes {[len(g['params']) for g in groups]} do not "
@@ -337,23 +340,15 @@ def replace_scale_by_adam(opt_state: Any, new_state) -> Any:
     """Swap the ScaleByAdamState inside a live optax opt_state tree."""
     import optax
 
+    from ..train.checkpoint import _map_matching_states
+
     hits = []
 
-    def walk(node):
-        if isinstance(node, optax.ScaleByAdamState):
-            hits.append(True)
-            return new_state
-        if isinstance(node, tuple):
-            mapped = [walk(v) for v in node]
-            return type(node)(*mapped) if hasattr(node, "_fields") \
-                else tuple(mapped)
-        if isinstance(node, list):
-            return [walk(v) for v in node]
-        if isinstance(node, dict):
-            return {k: walk(v) for k, v in node.items()}
-        return node
+    def repl(_):
+        hits.append(True)
+        return new_state
 
-    out = walk(opt_state)
+    out = _map_matching_states(optax.ScaleByAdamState, repl, opt_state)
     if len(hits) != 1:
         raise ValueError(f"expected exactly one ScaleByAdamState, found "
                          f"{len(hits)} — is the optimizer 'adamw'?")

@@ -41,24 +41,31 @@ except ImportError:  # pragma: no cover
 from ..config import TrainConfig
 
 
-def _map_adamspd_states(fn, tree):
-    """Apply ``fn`` to every AdamSPDState in an (optax chain) opt_state
-    pytree, rebuilding containers (tuples / namedtuples / dicts / lists)
-    around it. Non-jax traversal on purpose: the states hold ShapeDtypeStructs
-    during restore planning, and jax.tree.map would descend into them."""
-    from ..optim.adamspd import AdamSPDState
-    if isinstance(tree, AdamSPDState):
+def _map_matching_states(match_cls, fn, tree):
+    """Apply ``fn`` to every ``match_cls`` instance in an (optax chain)
+    opt_state pytree, rebuilding containers (tuples / namedtuples / dicts
+    / lists) around it. Non-jax traversal on purpose: the states hold
+    ShapeDtypeStructs during restore planning, and jax.tree.map would
+    descend into them. Shared by the restore-migration shims here and
+    the reference-interop state swaps (``optim/interop.py``)."""
+    if isinstance(tree, match_cls):
         return fn(tree)
     if isinstance(tree, tuple):
-        mapped = [_map_adamspd_states(fn, t) for t in tree]
+        mapped = [_map_matching_states(match_cls, fn, t) for t in tree]
         if hasattr(tree, "_fields"):      # other namedtuples (optax states)
             return type(tree)(*mapped)
         return tuple(mapped)
     if isinstance(tree, list):
-        return [_map_adamspd_states(fn, t) for t in tree]
+        return [_map_matching_states(match_cls, fn, t) for t in tree]
     if isinstance(tree, dict):
-        return {k: _map_adamspd_states(fn, v) for k, v in tree.items()}
+        return {k: _map_matching_states(match_cls, fn, v)
+                for k, v in tree.items()}
     return tree
+
+
+def _map_adamspd_states(fn, tree):
+    from ..optim.adamspd import AdamSPDState
+    return _map_matching_states(AdamSPDState, fn, tree)
 
 
 def _legacy_nu_max_like(like):

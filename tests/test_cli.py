@@ -214,3 +214,23 @@ def test_resume_from_explicit_path(workdir, capsys):
                        "meta.json").read_text())
     assert meta["global_step"] == 6  # 4 restored + 2 (one more epoch)
     assert meta["epoch"] == 2
+
+
+def test_import_optimizer_state_flag_validation(workdir):
+    """--import-optimizer-state conflicts: with --resume (two optimizer
+    sources), and across an amsgrad mismatch (importing would silently
+    drop or fabricate nu_max maxima)."""
+    from clip_finegrained_alignment_tpu.cli.train import main
+
+    out = workdir / "export_spd.pt"   # from test_optimizer_state_interop_cli
+    assert out.exists()
+    with pytest.raises(SystemExit, match="pick one source"):
+        main(train_args(workdir, 2, ["--optimizer", "adamspd",
+                                     "--pretrained", str(out),
+                                     "--import-optimizer-state",
+                                     "--resume"]))
+    with pytest.raises(SystemExit, match="amsgrad"):
+        main(train_args(workdir, 2, ["--optimizer", "adamspd", "--amsgrad",
+                                     "--pretrained", str(out),
+                                     "--import-optimizer-state",
+                                     "--experiment-name", "cli_ams"]))

@@ -297,3 +297,35 @@ def test_export_adamw_state_loads_into_reference():
 
     _assert_tree_close(params, params_from_hf_state_dict(
         model.state_dict(), CFG))
+
+
+def test_import_single_group_adamw_registration_order():
+    """Plain AdamW(model.parameters()) — ONE group whose positions are
+    registration order, not the finetuner's decay-reordered split. The
+    position→name map must switch accordingly (weight_decay=0 so the
+    group-split semantics don't enter; this pins the ORDER)."""
+    model = _hf_model()
+    opt_t = torch.optim.AdamW(model.parameters(), lr=HP["lr"],
+                              betas=HP["betas"], eps=HP["eps"],
+                              weight_decay=0.0)
+    for s in range(30, 33):
+        _torch_step(model, opt_t, _grads(model, s))
+
+    params = params_from_hf_state_dict(
+        {k: v.clone() for k, v in model.state_dict().items()}, CFG)
+    imported = interop.adamw_state_from_reference(opt_t.state_dict(), CFG)
+    assert int(imported.count) == 3
+
+    tc = TrainConfig(optimizer_type="adamw", lr=HP["lr"], betas=HP["betas"],
+                     eps=HP["eps"], weight_decay=0.0, max_grad_norm=0.0)
+    opt_j = make_optimizer(tc, params)
+    state = interop.replace_scale_by_adam(opt_j.init(params), imported)
+    for s in range(33, 35):
+        g = _grads(model, s)
+        gt = params_from_hf_state_dict(g, CFG)
+        upd, state = opt_j.update(gt, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, upd)
+        _torch_step(model, opt_t, g)
+
+    _assert_tree_close(params, params_from_hf_state_dict(
+        model.state_dict(), CFG))

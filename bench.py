@@ -90,10 +90,15 @@ def main():
     # peak, so this can pass the bf16 roofline. Changes numerics
     # (bounded; tests/test_quant.py), so the default bench stays bf16.
     quant = os.environ.get("BENCH_QUANT", "none")
+    # BENCH_LOSS=count benches the counterfactual count-trainer regime
+    # (count_finetuner.py:107-131: +9 cf text-tower passes per pair,
+    # batched). Default stays the SPARC north-star workload.
+    loss_type = os.environ.get("BENCH_LOSS", "sparc")
 
     model_cfg = CLIPConfig.from_name(model_name)
     cfg = TrainConfig(
-        clip_model=model_name, loss_type="sparc", optimizer_type="adamspd",
+        clip_model=model_name, loss_type=loss_type,
+        optimizer_type="adamspd",
         inverse_temperature=0.07, batch_size=batch_size,
         gradient_accumulation_steps=accum, use_amp=True, remat=remat,
         use_pallas_attention=use_pallas, use_fused_sparc=use_fused_sparc,
@@ -120,13 +125,23 @@ def main():
         ).astype(np.float32)),
         "input_ids": jnp.asarray(ids),
     }
+    if loss_type == "count":
+        cf = rng.integers(1, t.vocab_size - 2,
+                          size=(accum, batch_size, 9,
+                                t.max_position_embeddings)).astype(np.int32)
+        cf[..., -1] = t.eos_token_id
+        batch["cf_input_ids"] = jnp.asarray(cf)
 
     # Analytic model-FLOPs for MFU metering (fwd + 2x-fwd backward, the
     # standard MFU convention: remat recompute NOT counted). XLA's
     # cost_analysis() is unreliable through the remote-compile tunnel
     # (under-reports ~80x), so this is computed from the architecture.
-    from clip_finegrained_alignment_tpu.utils.flops import sparc_train_step_flops
-    flops_per_step = sparc_train_step_flops(model_cfg, accum * batch_size)
+    from clip_finegrained_alignment_tpu.utils.flops import (
+        count_train_step_flops, sparc_train_step_flops)
+    flops_per_step = (
+        count_train_step_flops(model_cfg, accum * batch_size)
+        if loss_type == "count"
+        else sparc_train_step_flops(model_cfg, accum * batch_size))
 
     # Warmup (compile) — params/opt_state are donated, so thread them.
     params, opt_state, metrics = step(params, opt_state, batch)
@@ -150,7 +165,7 @@ def main():
     n_chips = 1  # single-chip bench; pairs/sec/chip
     pairs_per_sec = accum * batch_size * steps / dt / n_chips
     out = {
-        "metric": "sparc_spd_finetune_throughput_"
+        "metric": f"{loss_type}_spd_finetune_throughput_"
                   + model_name.lower().replace("-", "").replace("/", ""),
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/sec/chip",
@@ -170,7 +185,10 @@ def main():
         "312 TFLOP/s bf16 peak on the ViT-B/16 124 GFLOPs/pair workload "
         "(0.20*312e12/124e9=503; utils/flops.py, BASELINE.md roofline). "
         "Eager-mode fine-tune MFU is typically 10-15%, so the denominator "
-        "over-credits the reference stack.")
+        "over-credits the reference stack."
+        + ("" if loss_type == "sparc" and model_name == "ViT-B/16" else
+           f" Same denominator convention for {model_name}/{loss_type} — "
+           "pairs/s vs the same estimated reference stack rate."))
     print(json.dumps(out))
 
 

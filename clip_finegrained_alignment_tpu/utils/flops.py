@@ -61,3 +61,17 @@ def sparc_train_step_flops(cfg: CLIPConfig, pairs_per_step: int) -> float:
     """Model FLOPs for one SPARC train step over ``pairs_per_step`` pairs
     (forward + 2× backward; remat recompute excluded by convention)."""
     return 3.0 * clip_forward_flops(cfg, sparc=True) * pairs_per_step
+
+
+def count_train_step_flops(cfg: CLIPConfig, pairs_per_step: int,
+                           n_cf: int = 9) -> float:
+    """Model FLOPs for one counterfactual CountLoss train step
+    (``count_finetuner.py:107-131``): the CLIP forward plus ``n_cf``
+    extra text-tower passes per pair (the 9 counterfactual captions,
+    batched here as one [B·n_cf, T] forward)."""
+    t = cfg.text
+    text = _tower_forward_flops(t.max_position_embeddings, t.hidden_size,
+                                t.intermediate_size, t.num_layers) \
+        + 2.0 * t.hidden_size * cfg.projection_dim
+    return 3.0 * (clip_forward_flops(cfg, sparc=False) + n_cf * text) \
+        * pairs_per_step

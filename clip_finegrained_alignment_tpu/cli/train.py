@@ -298,6 +298,11 @@ def main(argv=None) -> None:
                 f"amsgrad={cfg.amsgrad} — rerun with --amsgrad matching "
                 "the checkpoint (importing across the mismatch would "
                 "silently drop or fabricate the nu_max maxima)")
+        if cfg.optimizer_type != "adamspd" and cfg.amsgrad:
+            raise SystemExit(
+                "amsgrad AdamW has no counterpart here (optax.adamw "
+                "carries no max buffer) — the moment maxima would be "
+                "silently dropped; only AdamSPD supports amsgrad import")
         ck_params, ck_opt = trainer.to_checkpoint_format()
         if cfg.optimizer_type == "adamspd":
             imported = interop.adamspd_state_from_reference(opt_sd,

@@ -47,12 +47,15 @@ def main():
     # reference semantics. Measured sweep: 32x8 = 791 pairs/s, 64x4 = 756,
     # flat 256 = 676 (smaller microbatches cut remat recompute traffic).
     model_name = os.environ.get("BENCH_MODEL", "ViT-B/16")
+    loss_env = os.environ.get("BENCH_LOSS", "sparc")
     # Per-model production regimes (BASELINE.md sweeps); explicit argv /
     # env always win. ViT-B/32 — the model the reference actually
     # trains — measures fastest at mb128 x 4 with accum-scan unroll 2
     # (2369.7 pairs/s, perf/sweep_r3b.log); B/16 and L/14 at mb32 x 8,
-    # accum-unroll 1.
-    regime = {"ViT-B/32": (128, 4, 2)}.get(model_name, (32, 8, 1))
+    # accum-unroll 1. The count workload pins mb32 on every model (the
+    # 9 cf text fwds OOM the mb128 regime at 31G; perf/sweep_r3j.log).
+    regime = {"ViT-B/32": (128, 4, 2)}.get(model_name, (32, 8, 1)) \
+        if loss_env == "sparc" else (32, 8, 1)
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else regime[0]
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     accum = int(os.environ.get("BENCH_ACCUM", str(regime[1])))
@@ -93,7 +96,7 @@ def main():
     # BENCH_LOSS=count benches the counterfactual count-trainer regime
     # (count_finetuner.py:107-131: +9 cf text-tower passes per pair,
     # batched). Default stays the SPARC north-star workload.
-    loss_type = os.environ.get("BENCH_LOSS", "sparc")
+    loss_type = loss_env
 
     model_cfg = CLIPConfig.from_name(model_name)
     cfg = TrainConfig(

@@ -329,3 +329,33 @@ def test_import_single_group_adamw_registration_order():
 
     _assert_tree_close(params, params_from_hf_state_dict(
         model.state_dict(), CFG))
+
+
+def test_hf_named_parameter_order_asymmetric_towers():
+    """Order generation must track each tower's own depth — pinned on a
+    config with DIFFERENT text/vision layer counts (catches swapped or
+    shared-depth assumptions the symmetric tiny config would hide)."""
+    from dataclasses import replace
+
+    transformers = pytest.importorskip("transformers")
+    cfg = replace(CFG, text=replace(CFG.text, num_layers=1),
+                  vision=replace(CFG.vision, num_layers=3))
+    hf_cfg = transformers.CLIPConfig(
+        projection_dim=cfg.projection_dim,
+        text_config=dict(
+            vocab_size=cfg.text.vocab_size,
+            hidden_size=cfg.text.hidden_size,
+            intermediate_size=cfg.text.intermediate_size,
+            num_hidden_layers=cfg.text.num_layers,
+            num_attention_heads=cfg.text.num_heads,
+            max_position_embeddings=cfg.text.max_position_embeddings),
+        vision_config=dict(
+            image_size=cfg.vision.image_size,
+            patch_size=cfg.vision.patch_size,
+            hidden_size=cfg.vision.hidden_size,
+            intermediate_size=cfg.vision.intermediate_size,
+            num_hidden_layers=cfg.vision.num_layers,
+            num_attention_heads=cfg.vision.num_heads))
+    model = transformers.CLIPModel(hf_cfg)
+    assert interop.hf_named_parameter_order(cfg) == \
+        [n for n, _ in model.named_parameters()]

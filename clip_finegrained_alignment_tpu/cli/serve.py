@@ -1,0 +1,298 @@
+"""Serving CLI — production embedding / zero-shot-classification server.
+
+The reference has no serving path at all: every eval script re-encodes its
+prompt templates per sample through a fresh 1-image forward
+(``cb_eval.py:247-258``, ``crop_eval.py:138-159``). This is the TPU-native
+production front-end over ``models/inference.py``: a threaded HTTP server
+whose in-flight requests **coalesce into fixed-bucket device batches**
+(dynamic batching), so concurrent clients share one MXU forward instead of
+serializing 1-image programs — the pattern behind the measured serving
+rates (ViT-B/32: 9194 img/s + 14.8k txt/s per chip, BASELINE.md).
+
+Endpoints (JSON in / JSON out):
+
+* ``POST /v1/embed/text``     ``{"texts": [str, ...]}``
+  → ``{"embeddings": [[f32 × proj_dim], ...]}`` (L2-normalized)
+* ``POST /v1/embed/image``    ``{"images_b64": [b64(jpeg|png), ...]}`` or
+  ``{"pixels": [[S, S, 3] uint8 nested lists, ...]}``
+  → same shape. Decoded images get the HF-processor geometry
+  (shorter-side bicubic resize + center crop, ``preprocess.py``).
+* ``POST /v1/classify``       images as above + ``{"labels": [str, ...],
+  "template": "a photo of {}"}`` → ``{"labels": [...], "probs": [[...]]}``
+  (softmax over ``logit_scale``-scaled similarities; the prompt bank is
+  embedded once per distinct (template, labels) set and cached).
+* ``GET /healthz`` · ``GET /stats`` (items, batches, mean batch fill,
+  latency quantiles).
+
+Run::
+
+    python -m clip_finegrained_alignment_tpu.cli.serve \
+        --model ViT-B/32 --checkpoint ckpt/best --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+class DynamicBatcher:
+    """Coalesces concurrent embed requests into bucket-sized batches.
+
+    One dispatcher thread per kind ("image" | "text") drains a queue:
+    it waits for the first item, then keeps accepting until the bucket
+    fills or ``window_ms`` elapses, and runs ONE bucketed device forward
+    for the whole group. Single-client latency cost is bounded by the
+    window; multi-client throughput approaches the offline batch rate.
+    """
+
+    def __init__(self, inference, *, window_ms: float = 2.0):
+        self._inf = inference
+        self._window = window_ms / 1000.0
+        self._lock = threading.Lock()
+        self._queues: Dict[str, List[Tuple[np.ndarray, Future]]] = {
+            "image": [], "text": []}
+        self._wakeups = {k: threading.Event() for k in self._queues}
+        self._stop = False
+        self.stats = {"items": 0, "batches": 0, "latency_ms": []}
+        self._threads = [
+            threading.Thread(target=self._run, args=(k,), daemon=True)
+            for k in self._queues]
+        for t in self._threads:
+            t.start()
+
+    def submit(self, kind: str, arrays: Sequence[np.ndarray]) -> np.ndarray:
+        """Blocking: enqueue ``arrays`` and return stacked embeddings."""
+        futures = [Future() for _ in arrays]
+        with self._lock:
+            self._queues[kind].extend(zip(arrays, futures))
+        self._wakeups[kind].set()
+        return np.stack([f.result() for f in futures]) if futures \
+            else np.zeros((0,), np.float32)
+
+    def close(self):
+        self._stop = True
+        for ev in self._wakeups.values():
+            ev.set()
+
+    def _run(self, kind: str):
+        bucket = self._inf.bucket
+        embed = (self._inf.embed_images if kind == "image"
+                 else self._inf.embed_texts)
+        while not self._stop:
+            self._wakeups[kind].wait(timeout=0.1)
+            with self._lock:
+                have = len(self._queues[kind])
+            if not have:
+                self._wakeups[kind].clear()
+                continue
+            # Batching window: let concurrent requests pile up (skipped
+            # when the bucket is already full).
+            deadline = time.monotonic() + self._window
+            while have < bucket and time.monotonic() < deadline:
+                time.sleep(self._window / 4)
+                with self._lock:
+                    have = len(self._queues[kind])
+            with self._lock:
+                group = self._queues[kind][:bucket]
+                del self._queues[kind][:bucket]
+                if not self._queues[kind]:
+                    self._wakeups[kind].clear()
+            t0 = time.monotonic()
+            try:
+                out = embed(np.stack([a for a, _ in group]))
+                for (_, fut), emb in zip(group, out):
+                    fut.set_result(emb)
+            except Exception as e:  # resolve, don't hang clients
+                for _, fut in group:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            dt = (time.monotonic() - t0) * 1000.0
+            self.stats["items"] += len(group)
+            self.stats["batches"] += 1
+            lat = self.stats["latency_ms"]
+            lat.append(dt)
+            del lat[:-512]  # keep a bounded window
+
+
+class ClipServer:
+    """Model + tokenizer + batcher behind the HTTP handler (separable
+    from the CLI for tests)."""
+
+    def __init__(self, params, model_cfg, tokenizer, *,
+                 model_name: str = "?", bucket: int = 64,
+                 window_ms: float = 2.0, use_pallas: bool = False):
+        from ..models.inference import CLIPInference
+        self.cfg = model_cfg
+        self.model_name = model_name
+        self.tok = tokenizer
+        self.inference = CLIPInference(params, model_cfg,
+                                       use_pallas=use_pallas,
+                                       batch_bucket=bucket)
+        self.batcher = DynamicBatcher(self.inference, window_ms=window_ms)
+        self.logit_scale = float(np.exp(np.asarray(params["logit_scale"])))
+        self._prompt_cache: Dict[Tuple, np.ndarray] = {}
+        self._cache_lock = threading.Lock()
+
+    # ---- request decoding ------------------------------------------------
+    def _decode_images(self, payload: dict) -> np.ndarray:
+        S = self.cfg.vision.image_size
+        if "pixels" in payload:
+            arr = np.asarray(payload["pixels"], np.uint8)
+            if arr.ndim == 3:
+                arr = arr[None]
+            if arr.shape[1:] != (S, S, 3):
+                raise ValueError(f"pixels must be [N,{S},{S},3] uint8, "
+                                 f"got {arr.shape}")
+            return arr
+        from PIL import Image
+        from ..data.preprocess import resize_center_crop
+        out = []
+        for b64 in payload["images_b64"]:
+            raw = base64.b64decode(b64)
+            with Image.open(io.BytesIO(raw)) as im:
+                rgb = np.asarray(im.convert("RGB"))
+            out.append(resize_center_crop(rgb, S))
+        return np.stack(out)
+
+    # ---- endpoint logic ----------------------------------------------------
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        ids = self.tok(list(texts), self.cfg.text.max_position_embeddings)
+        return self.batcher.submit("text", np.asarray(ids, np.int32))
+
+    def embed_images(self, payload: dict) -> np.ndarray:
+        return self.batcher.submit("image", self._decode_images(payload))
+
+    def classify(self, payload: dict):
+        labels = payload["labels"]
+        template = payload.get("template", "a photo of {}")
+        key = (template, tuple(labels))
+        with self._cache_lock:
+            bank = self._prompt_cache.get(key)
+        if bank is None:
+            bank = self.embed_texts([template.format(l) for l in labels])
+            with self._cache_lock:
+                self._prompt_cache[key] = bank
+        img = self.embed_images(payload)                    # [N, P]
+        logits = self.logit_scale * img @ bank.T            # [N, C]
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        probs = e / e.sum(axis=-1, keepdims=True)
+        return labels, probs
+
+    def stats(self) -> dict:
+        s = self.batcher.stats
+        lat = sorted(s["latency_ms"])
+        q = lambda p: round(lat[int(p * (len(lat) - 1))], 2) if lat else None
+        return {
+            "model": self.model_name,
+            "items": s["items"], "batches": s["batches"],
+            "mean_batch_fill": round(s["items"] / s["batches"], 2)
+            if s["batches"] else None,
+            "device_batch_ms_p50": q(0.5), "device_batch_ms_p95": q(0.95),
+        }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "cfa-serve/1.0"
+    # set by make_server:
+    clip: ClipServer = None  # type: ignore
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _reply(self, code: int, obj: dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._reply(200, {"status": "ok",
+                              "model": self.clip.model_name})
+        elif self.path == "/stats":
+            self._reply(200, self.clip.stats())
+        else:
+            self._reply(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(n) or b"{}")
+            if self.path == "/v1/embed/text":
+                emb = self.clip.embed_texts(payload["texts"])
+                self._reply(200, {"embeddings": emb.tolist()})
+            elif self.path == "/v1/embed/image":
+                emb = self.clip.embed_images(payload)
+                self._reply(200, {"embeddings": emb.tolist()})
+            elif self.path == "/v1/classify":
+                labels, probs = self.clip.classify(payload)
+                self._reply(200, {"labels": list(labels),
+                                  "probs": probs.tolist()})
+            else:
+                self._reply(404, {"error": f"no route {self.path}"})
+        except Exception as e:
+            self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(clip: ClipServer, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    handler = type("_BoundHandler", (_Handler,), {"clip": clip})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="ViT-B/32")
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax dir or reference .pt")
+    p.add_argument("--pretrained", default=None, help="HF model name")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--bucket", type=int, default=64,
+                   help="device batch size (requests coalesce up to this)")
+    p.add_argument("--window-ms", type=float, default=2.0,
+                   help="max time a request waits for batch-mates")
+    p.add_argument("--pallas", action="store_true")
+    p.add_argument("--bpe-path", default=None)
+    args = p.parse_args(argv)
+
+    from ..config import CLIPConfig
+    from ..data.tokenizer import load_tokenizer
+    from . import evaluate as ev
+
+    model_cfg = CLIPConfig.from_name(args.model)
+    params = ev.load_params(args, model_cfg)
+    tok = load_tokenizer(args.bpe_path)
+    clip = ClipServer(params, model_cfg, tok, model_name=args.model,
+                      bucket=args.bucket, window_ms=args.window_ms,
+                      use_pallas=args.pallas)
+    # Warm the compile caches so the first request isn't a ~6 min compile.
+    S = model_cfg.vision.image_size
+    clip.embed_texts(["warmup"])
+    clip.embed_images({"pixels": np.zeros((1, S, S, 3), np.uint8)})
+    srv = make_server(clip, args.host, args.port)
+    print(f"serving {args.model} on http://{args.host}:{srv.server_port} "
+          f"(bucket={args.bucket}, window={args.window_ms}ms)", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        clip.batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+#!/usr/bin/env bash
+# End-to-end "learn to count" demonstration on the real chip — the
+# reference's thesis workflow (README.md:3-5: train on a counting
+# objective) executed hermetically: procedural data generation →
+# counterfactual count fine-tune (count_finetuner.py behavior) with the
+# per-epoch counting eval (count_finetuner.py:153-168) → accuracy
+# trajectory.
+#
+# The environment is zero-egress (no pretrained weights), so the model
+# trains FROM RANDOM INIT on the procedural dataset; the demonstration is
+# that the full TPU-native pipeline learns the counting discrimination
+# end-to-end (eval accuracy: chance = 0.1 over counts 1-10). Reference
+# hyperparameters where they transfer; lr/wd retuned for random init
+# (the reference fine-tunes from pretrained CLIP at lr 1e-5 — from
+# scratch that underfits in any demonstrable budget).
+#
+# Run:  bash perf/e2e_learn_to_count.sh | tee perf/e2e_learn_to_count.log
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+OUT=${OUT:-/tmp/e2e_count}
+SAMPLES=${SAMPLES:-2048}
+EPOCHS=${EPOCHS:-30}
+rm -rf "$OUT"; mkdir -p "$OUT"
+
+echo "== stage 1: procedural counting dataset ($SAMPLES samples) =="
+python -m clip_finegrained_alignment_tpu.cli.generate_data \
+  --procedural --output-dir "$OUT/data" --num-samples "$SAMPLES" \
+  --max-objects 10 --size-category small --annotation-mode count \
+  --seed 7 --visualize 4
+
+echo "== stage 2: counterfactual count fine-tune (ViT-B/32, random init) =="
+CFA_ALLOW_HASH_TOKENIZER=1 \
+python -m clip_finegrained_alignment_tpu.cli.train \
+  --annotations "$OUT/data/synthetic_annotations.json" \
+  --model ViT-B/32 --loss-type count \
+  --optimizer adamw --lr 1e-4 --weight-decay 0.01 \
+  --batch-size 32 --grad-accum 4 --epochs "$EPOCHS" \
+  --eval-every-epoch --experiment-name e2e_count \
+  --checkpoint-dir "$OUT/ckpt" --metrics-file "$OUT/metrics.jsonl" \
+  --unstack-layers --remat 0 --save-every 1000
+
+echo "== stage 3: accuracy trajectory =="
+python - "$OUT/metrics.jsonl" <<'EOF'
+import json, sys
+rows = [json.loads(l) for l in open(sys.argv[1])]
+accs = [(r["step"], r["count_eval_accuracy"]) for r in rows
+        if "count_eval_accuracy" in r]
+print(f"{'step':>6}  count_eval_accuracy")
+for s, a in accs:
+    print(f"{s:>6}  {a:.3f}")
+first, best = accs[0][1], max(a for _, a in accs)
+print(f"\nchance = 0.100; first epoch = {first:.3f}; best = {best:.3f}")
+assert best > 0.25, "no learning signal — demonstration FAILED"
+print("learning demonstrated: counting accuracy rose well above chance")
+EOF
+
+echo "== stage 4: CountBench-fixture eval, random init vs trained =="
+# Same fixed fixture for both sides (fixtures are plumbing-shaped, not the
+# real benchmark — the comparison shows the TRAINING moved the protocol
+# metric, not a CountBench claim).
+python - "$OUT" <<'EOF'
+import sys
+from clip_finegrained_alignment_tpu.data import fixtures
+fixtures.make_countbench_fixture(sys.argv[1] + "/cb_fixture",
+                                 num_samples=200, seed=11)
+EOF
+BEST=$(ls -d "$OUT"/ckpt/*/best 2>/dev/null | head -1)
+echo "trained checkpoint: $BEST"
+for side in random trained; do
+  CKPT_FLAG=""
+  [ "$side" = trained ] && CKPT_FLAG="--checkpoint $BEST"
+  CFA_ALLOW_HASH_TOKENIZER=1 \
+  python -m clip_finegrained_alignment_tpu.cli.evaluate countbench \
+    --model ViT-B/32 $CKPT_FLAG \
+    --dataset "$OUT/cb_fixture/countbench_fixture.json" \
+    --confidence 0.2 --margin 0.01 --format word --position first \
+    --output-dir "$OUT/cb_$side" | tee "$OUT/cb_$side.json"
+done
+python - "$OUT" <<'EOF'
+import json, re, sys
+out = sys.argv[1]
+def metrics(p):
+    txt = open(p).read()
+    return json.loads(txt[txt.index("{"):])
+r, t = metrics(f"{out}/cb_random.json"), metrics(f"{out}/cb_trained.json")
+for k in ("accuracy", "argmax_accuracy"):
+    print(f"{k}: random-init {r[k]:.3f} -> trained {t[k]:.3f}")
+EOF

@@ -182,6 +182,8 @@ class ClipServer:
         if bank is None:
             bank = self.embed_texts([template.format(l) for l in labels])
             with self._cache_lock:
+                if len(self._prompt_cache) >= 256:  # bound the bank cache
+                    self._prompt_cache.pop(next(iter(self._prompt_cache)))
                 self._prompt_cache[key] = bank
         img = self.embed_images(payload)                    # [N, P]
         logits = self.logit_scale * img @ bank.T            # [N, C]

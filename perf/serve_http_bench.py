@@ -14,11 +14,16 @@ batch-fill (coalescing working under load) and the latency distribution.
 """
 
 import json
+import os
 import sys
 import threading
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Throughput does not depend on real token ids; keep the run hermetic.
+os.environ.setdefault("CFA_ALLOW_HASH_TOKENIZER", "1")
 
 
 def main():

@@ -329,10 +329,18 @@ def main(argv=None) -> None:
         print(msg, flush=True)
 
     # Hold out the first batch for the per-epoch counting eval
-    # (count_finetuner.py:174-175).
+    # (count_finetuner.py:173-175) and, like the reference, evaluate it
+    # BEFORE training — the chance-level anchor of the accuracy
+    # trajectory (skipped on resume: the anchor belongs to step 0).
     eval_batch_data = None
     if args.eval_every_epoch and mode == "counterfactual":
         eval_batch_data = next(iter(pipeline.epoch(0)))
+        if start_epoch == 0:
+            png = os.path.join(ckpt_dir, "confusion_pretrain.png")
+            acc, _, _ = evaluate_batch(trainer.params, model_cfg,
+                                       eval_batch_data, filename=png)
+            print(f"pre-training counting-eval accuracy: {acc:.3f}")
+            metrics_log.log(0, count_eval_accuracy=acc)
 
     profiling = {"active": False}
 

@@ -53,7 +53,10 @@ print(f"{'step':>6}  count_eval_accuracy")
 for s, a in accs:
     print(f"{s:>6}  {a:.3f}")
 first, best = accs[0][1], max(a for _, a in accs)
-print(f"\nchance = 0.100; first epoch = {first:.3f}; best = {best:.3f}")
+print(f"\nexchangeable chance = 0.100 (the pre-train anchor can sit above "
+      f"it: candidates differ in one token, so a count-word prior "
+      f"independent of the image biases a random-init model)")
+print(f"pre-train anchor = {first:.3f}; best = {best:.3f}")
 import os
 assert best > float(os.environ.get("MIN_ACC", "0.25")), \
     "no learning signal — demonstration FAILED"

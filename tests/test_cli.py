@@ -81,6 +81,11 @@ def test_train_count_loss_with_epoch_eval(workdir, capsys):
     assert "counting-eval accuracy" in out
     assert os.path.exists(workdir / "ckpts" / "cli_count" /
                           "confusion_epoch_0.png")
+    # The reference evaluates the held-out batch BEFORE training too
+    # (count_finetuner.py:173-175) — the chance-level trajectory anchor.
+    assert "pre-training counting-eval accuracy" in out
+    assert os.path.exists(workdir / "ckpts" / "cli_count" /
+                          "confusion_pretrain.png")
 
 
 def test_train_model_parallel_with_zero1(workdir):

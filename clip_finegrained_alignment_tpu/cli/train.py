@@ -92,6 +92,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "--zero1. For models whose AdamSPD state "
                         "overflows one chip's HBM (ViT-L/14: 8.6 GB) — "
                         "see BASELINE.md 'ViT-L/14 scaling story'")
+    p.add_argument("--pipeline-parallel", type=int, default=1,
+                   help="GPipe pipeline-parallel degree (the 'pipe' mesh "
+                        "axis; devices = data x model x pipe). Encoder "
+                        "layers stage-shard over it (params, grads AND "
+                        "optimizer state scale 1/K per stage — "
+                        "parallel/pipeline.py). Requires "
+                        "--global-negatives and the stacked layer layout; "
+                        "must divide both towers' layer counts")
+    p.add_argument("--pipeline-microbatches", type=int, default=0,
+                   help="GPipe microbatches per train microbatch "
+                        "(0 = auto: 2x the stage count). Must divide "
+                        "--batch-size")
     p.add_argument("--quant", default="none",
                    choices=["none", "switchback", "int8"],
                    help="dynamic-int8 MXU path for the encoder projection "
@@ -163,23 +175,31 @@ def main(argv=None) -> None:
         remat={"0": False, "1": True, "dots": "dots"}[args.remat],
         global_negatives=args.global_negatives, zero1=args.zero1,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
-        mesh=MeshConfig(data=jax.device_count() // args.model_parallel,
-                        model=args.model_parallel))
-    if args.model_parallel > 1:
-        if jax.device_count() % args.model_parallel != 0:
+        pipeline_microbatches=args.pipeline_microbatches,
+        mesh=MeshConfig(
+            data=jax.device_count()
+            // (args.model_parallel * args.pipeline_parallel),
+            model=args.model_parallel, pipe=args.pipeline_parallel))
+    if args.model_parallel * args.pipeline_parallel > 1:
+        if jax.device_count() % (args.model_parallel
+                                 * args.pipeline_parallel) != 0:
             raise SystemExit(
-                f"--model-parallel {args.model_parallel} must divide the "
-                f"device count ({jax.device_count()})")
+                f"--model-parallel {args.model_parallel} x "
+                f"--pipeline-parallel {args.pipeline_parallel} must "
+                f"divide the device count ({jax.device_count()})")
         if not args.global_negatives:
             raise SystemExit(
-                "--model-parallel > 1 requires --global-negatives: the "
-                "DDP-parity shard_map path assumes replicated params "
-                "(train/engine.py)")
+                "--model-parallel/--pipeline-parallel > 1 require "
+                "--global-negatives: the DDP-parity shard_map path "
+                "assumes replicated params (train/engine.py)")
         if args.unstack_layers:
             raise SystemExit(
-                "--model-parallel > 1 is incompatible with "
-                "--unstack-layers (TP sharding rules address the stacked "
-                "[L, ...] layout)")
+                "--model-parallel/--pipeline-parallel > 1 are "
+                "incompatible with --unstack-layers (the sharding rules "
+                "address the stacked [L, ...] layout)")
+    if args.model_parallel > 1 and args.pipeline_parallel > 1:
+        raise SystemExit("--model-parallel and --pipeline-parallel cannot "
+                         "be combined (train/engine.py)")
     if cfg.batch_size % cfg.mesh.data != 0:
         raise SystemExit(
             f"--batch-size {cfg.batch_size} must be divisible by the "

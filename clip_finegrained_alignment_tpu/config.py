@@ -146,15 +146,18 @@ class CLIPConfig:
 @dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh layout. ``data`` is the DP axis (batch-sharded), ``model``
-    the TP axis (weight-sharded). The reference's only strategy is DP over
-    NCCL (``/root/reference/finetune/dist_finetuner.py:57``); here DP rides
-    ICI collectives and TP is available as a second mesh axis."""
+    the TP axis (weight-sharded), ``pipe`` the pipeline axis (encoder layers
+    stage-sharded, GPipe schedule — ``parallel/pipeline.py``). The
+    reference's only strategy is DP over NCCL
+    (``/root/reference/finetune/dist_finetuner.py:57``); here DP rides ICI
+    collectives and TP/PP are further mesh axes, not rewrites."""
     data: int = 1
     model: int = 1
+    pipe: int = 1
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.model
+        return self.data * self.model * self.pipe
 
 
 @dataclass(frozen=True)
@@ -241,6 +244,12 @@ class TrainConfig:
                                           # state drops ~1/dp; XLA re-gathers
                                           # updated params over ICI. Identical
                                           # math (parallel/sharding_rules.py)
+    pipeline_microbatches: int = 0        # GPipe microbatches per train
+                                          # microbatch when mesh.pipe > 1
+                                          # (parallel/pipeline.py); 0 = auto
+                                          # (2x the stage count — bubble
+                                          # fraction (K-1)/(M+K-1)). Identical
+                                          # math to the unpipelined step.
     checkpoint_dir: str = "checkpoints"
     log_every: int = 10
 
@@ -322,7 +331,9 @@ class TrainConfig:
                 "AMSGrad": self.amsgrad,
             },
             "TPU Configuration": {
-                "Mesh (data x model)": f"{self.mesh.data} x {self.mesh.model}",
+                "Mesh (data x model x pipe)":
+                    f"{self.mesh.data} x {self.mesh.model} x "
+                    f"{self.mesh.pipe}",
                 "Compute dtype": self.precision.compute_dtype,
                 "Pallas attention": self.use_pallas_attention,
                 "Fused SPARC kernel": self.use_fused_sparc,

@@ -345,7 +345,8 @@ def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False,
 
 
 def encoder(params_stacked, x, bias, num_heads, eps, *, dtype,
-            use_pallas=False, remat=False, unroll=1, quant="none"):
+            use_pallas=False, remat=False, unroll=1, quant="none",
+            pipeline=None):
     """Pre-LN transformer encoder over stacked layer params via lax.scan.
 
     ``remat=True`` wraps the layer body in ``jax.checkpoint`` so backward
@@ -356,30 +357,55 @@ def encoder(params_stacked, x, bias, num_heads, eps, *, dtype,
     ``unroll`` is forwarded to ``lax.scan`` — unrolling the layer loop lets
     XLA overlap weight prefetch with compute across layer boundaries at the
     cost of a larger program (perf knob, identical math).
+
+    ``pipeline`` (a ``parallel.pipeline.PipelineSpec``) runs the layer
+    stack as a GPipe pipeline over the mesh's ``pipe`` axis: each stage
+    holds (and applies) its ``[L/K, ...]`` slice of the stacked params;
+    this function body — scan/remat/unroll and all — becomes the per-stage
+    chunk. Identical math (``tests/test_pipeline.py``).
     """
 
     lin = _linear_fn(quant)
 
-    def body(h, layer_p):
-        r = h
-        h = layer_norm(layer_p["ln1"], h, eps)
-        h = attention(layer_p, h, bias, num_heads, dtype=dtype,
-                      use_pallas=use_pallas, quant=quant)
-        h = r + h
-        r = h
-        h = layer_norm(layer_p["ln2"], h, eps)
-        h = quick_gelu(lin(layer_p["fc1"], h, dtype))
-        h = lin(layer_p["fc2"], h, dtype)
-        return r + h, None
+    def make_body(b):
+        def body(h, layer_p):
+            r = h
+            h = layer_norm(layer_p["ln1"], h, eps)
+            h = attention(layer_p, h, b, num_heads, dtype=dtype,
+                          use_pallas=use_pallas, quant=quant)
+            h = r + h
+            r = h
+            h = layer_norm(layer_p["ln2"], h, eps)
+            h = quick_gelu(lin(layer_p["fc1"], h, dtype))
+            h = lin(layer_p["fc2"], h, dtype)
+            return r + h, None
 
-    if remat:
-        # remat=True → recompute everything (min memory); remat="dots" →
-        # save the weight-matmul outputs (qkv/out/fc projections) and
-        # recompute only elementwise/attention — ~40% less backward
-        # recompute for ~2x the activation footprint.
-        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable \
-            if remat == "dots" else None
-        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
+        if remat:
+            # remat=True → recompute everything (min memory); remat="dots"
+            # → save the weight-matmul outputs (qkv/out/fc projections)
+            # and recompute only elementwise/attention — ~40% less
+            # backward recompute for ~2x the activation footprint.
+            policy = (jax.checkpoint_policies
+                      .dots_with_no_batch_dims_saveable
+                      if remat == "dots" else None)
+            body = jax.checkpoint(body, prevent_cse=False, policy=policy)
+        return body
+
+    if pipeline is not None:
+        from ..parallel.pipeline import pipeline_encoder
+
+        # The stage chunk is this same scan body, rebuilt around the bias
+        # slice travelling with each microbatch's activations.
+        def stage_fn(local_layers, h, b_mb):
+            out, _ = jax.lax.scan(make_body(b_mb), h, local_layers,
+                                  unroll=unroll)
+            return out
+
+        return pipeline_encoder(stage_fn, params_stacked, x, bias,
+                                mesh=pipeline.mesh,
+                                num_micro=pipeline.num_micro)
+
+    body = make_body(bias)
     if isinstance(params_stacked, (list, tuple)):
         # Unstacked per-layer trees (``unstack_layers``): straight-line
         # loop — each layer's params are separate jit arguments, so grads
@@ -417,7 +443,8 @@ def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
 
 def vision_tower(params: Params, pixel_values: jax.Array, cfg: VisionConfig,
                  *, dtype=jnp.float32, use_pallas=False,
-                 remat=False, unroll=1, quant="none") -> TowerOutput:
+                 remat=False, unroll=1, quant="none",
+                 pipeline=None) -> TowerOutput:
     """ViT image tower. ``pixel_values``: [B, H, W, 3] NHWC, normalized."""
     p = params
     x = patchify(pixel_values.astype(dtype), cfg.patch_size)
@@ -429,7 +456,7 @@ def vision_tower(params: Params, pixel_values: jax.Array, cfg: VisionConfig,
     x = layer_norm(p["pre_layernorm"], x, cfg.layer_norm_eps)
     x = encoder(p["layers"], x, None, cfg.num_heads, cfg.layer_norm_eps,
                 dtype=dtype, use_pallas=use_pallas, remat=remat,
-                unroll=unroll, quant=quant)
+                unroll=unroll, quant=quant, pipeline=pipeline)
     pooled = layer_norm(p["post_layernorm"], x[:, 0], cfg.layer_norm_eps)
     return TowerOutput(last_hidden_state=x, pooled=pooled)
 
@@ -447,7 +474,8 @@ def _text_attention_bias(input_ids, attention_mask, seq_len):
 def text_tower(params: Params, input_ids: jax.Array, cfg: TextConfig,
                *, attention_mask: Optional[jax.Array] = None,
                dtype=jnp.float32, use_pallas=False,
-               remat=False, unroll=1, quant="none") -> TowerOutput:
+               remat=False, unroll=1, quant="none",
+               pipeline=None) -> TowerOutput:
     """Text transformer tower. ``input_ids``: [B, T] int32.
 
     Pooling follows HF: hidden state at the **first EOS token** position.
@@ -463,7 +491,7 @@ def text_tower(params: Params, input_ids: jax.Array, cfg: TextConfig,
     bias = _text_attention_bias(input_ids, attention_mask, T)
     x = encoder(p["layers"], x, bias, cfg.num_heads, cfg.layer_norm_eps,
                 dtype=dtype, use_pallas=use_pallas, remat=remat,
-                unroll=unroll, quant=quant)
+                unroll=unroll, quant=quant, pipeline=pipeline)
     x = layer_norm(p["final_layernorm"], x, cfg.layer_norm_eps)
     eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
                          axis=-1)
@@ -492,24 +520,25 @@ class CLIPOutput(NamedTuple):
 
 def encode_image(params: Params, pixel_values: jax.Array, cfg: CLIPConfig,
                  *, dtype=jnp.float32, use_pallas=False,
-                 remat=False, unroll=1, quant="none") -> jax.Array:
+                 remat=False, unroll=1, quant="none",
+                 pipeline=None) -> jax.Array:
     """Projected image embedding (un-normalized), as HF ``get_image_features``
     / OpenAI ``model.encode_image`` (``count_finetuner.py:107``)."""
     out = vision_tower(params["vision"], pixel_values, cfg.vision,
                        dtype=dtype, use_pallas=use_pallas, remat=remat,
-                       unroll=unroll, quant=quant)
+                       unroll=unroll, quant=quant, pipeline=pipeline)
     return linear(params["visual_projection"], out.pooled, dtype)
 
 
 def encode_text(params: Params, input_ids: jax.Array, cfg: CLIPConfig,
                 *, attention_mask=None, dtype=jnp.float32,
                 use_pallas=False, remat=False, unroll=1,
-                quant="none") -> jax.Array:
+                quant="none", pipeline=None) -> jax.Array:
     """Projected text embedding (un-normalized)."""
     out = text_tower(params["text"], input_ids, cfg.text,
                      attention_mask=attention_mask, dtype=dtype,
                      use_pallas=use_pallas, remat=remat, unroll=unroll,
-                     quant=quant)
+                     quant=quant, pipeline=pipeline)
     return linear(params["text_projection"], out.pooled, dtype)
 
 
@@ -517,17 +546,18 @@ def clip_forward(params: Params, pixel_values: jax.Array,
                  input_ids: jax.Array, cfg: CLIPConfig, *,
                  attention_mask: Optional[jax.Array] = None,
                  dtype=jnp.float32, use_pallas=False,
-                 remat=False, unroll=1, quant="none") -> CLIPOutput:
+                 remat=False, unroll=1, quant="none",
+                 pipeline=None) -> CLIPOutput:
     """Full dual-tower forward returning everything any reference loss needs
     in one pass (the reference re-encodes for some paths, e.g.
     ``count_finetuner.py:107-123``; here one forward serves all)."""
     v = vision_tower(params["vision"], pixel_values, cfg.vision,
                      dtype=dtype, use_pallas=use_pallas, remat=remat,
-                     unroll=unroll, quant=quant)
+                     unroll=unroll, quant=quant, pipeline=pipeline)
     t = text_tower(params["text"], input_ids, cfg.text,
                    attention_mask=attention_mask, dtype=dtype,
                    use_pallas=use_pallas, remat=remat, unroll=unroll,
-                   quant=quant)
+                   quant=quant, pipeline=pipeline)
     image_embeds = linear(params["visual_projection"], v.pooled, dtype)
     text_embeds = linear(params["text_projection"], t.pooled, dtype)
 

@@ -26,6 +26,7 @@ from ..config import MeshConfig
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def distributed_init(**kwargs) -> None:
@@ -48,22 +49,24 @@ def distributed_init(**kwargs) -> None:
 
 def make_mesh(cfg: Optional[MeshConfig] = None,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build the ``(data, model)`` mesh.
+    """Build the ``(data, model, pipe)`` mesh.
 
     With ``cfg=None`` every addressable device lands on the ``data`` axis —
     the morally-equivalent default to torchrun's one-process-per-GPU DP
-    (``dist_train.sh:40-51``), minus the processes.
+    (``dist_train.sh:40-51``), minus the processes. ``pipe`` is the minor
+    (fastest-varying) axis so pipeline stages are ICI neighbors and the
+    GPipe ``ppermute`` rides single hops.
     """
     devices = list(devices if devices is not None else jax.devices())
     if cfg is None:
         cfg = MeshConfig(data=len(devices), model=1)
-    n = cfg.data * cfg.model
+    n = cfg.num_devices
     if len(devices) < n:
         raise ValueError(
-            f"mesh {cfg.data}x{cfg.model} needs {n} devices, "
+            f"mesh {cfg.data}x{cfg.model}x{cfg.pipe} needs {n} devices, "
             f"have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(cfg.data, cfg.model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    arr = np.asarray(devices[:n]).reshape(cfg.data, cfg.model, cfg.pipe)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
 
 
 # ---------------------------------------------------------------------------

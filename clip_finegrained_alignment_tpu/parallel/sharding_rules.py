@@ -25,7 +25,7 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS
 
 # Pytree key-path suffix → PartitionSpec for the stacked [L, ...] layer
 # params. None → replicated.
@@ -100,12 +100,27 @@ def zero1_opt_specs(opt_state: Any, mesh: Mesh) -> Any:
     """
     dp = mesh.shape.get(DATA_AXIS, 1)
     tp = mesh.shape.get(MODEL_AXIS, 1)
+    pp = mesh.shape.get(PIPE_AXIS, 1)
+
+    def base_spec(path, shape):
+        """The non-data layout: TP Megatron dims (model > 1) and/or the
+        pipeline stage dim (pipe > 1, stacked layer leaves sharded on L —
+        parallel/pipeline.py)."""
+        spec = list(_spec_for_path(path)) if tp > 1 else []
+        if pp > 1 and shape:
+            keys = tuple(getattr(k, "key", None) or str(k) for k in path)
+            if "layers" in keys and shape[0] % pp == 0 and shape[0] >= pp:
+                if not spec:
+                    spec = [PIPE_AXIS]
+                elif spec[0] is None:
+                    spec[0] = PIPE_AXIS
+        return P(*spec)
 
     def spec_for(path, leaf):
         shape = getattr(leaf, "shape", None)
         if dp == 1 or shape is None or len(shape) == 0:
-            return _spec_for_path(path) if tp > 1 else P()
-        base = _spec_for_path(path) if tp > 1 else P()
+            return base_spec(path, shape) if (tp > 1 or pp > 1) else P()
+        base = base_spec(path, shape)
         spec = list(base) + [None] * (len(shape) - len(base))
         best = None
         for i, s in enumerate(shape):

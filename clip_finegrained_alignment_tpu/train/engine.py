@@ -55,7 +55,8 @@ Batch = Dict[str, jax.Array]
 # ---------------------------------------------------------------------------
 
 def compute_loss(params, batch: Batch, cfg: TrainConfig,
-                 model_cfg: CLIPConfig, *, dtype) -> Tuple[jax.Array, Dict]:
+                 model_cfg: CLIPConfig, *, dtype,
+                 pipeline=None) -> Tuple[jax.Array, Dict]:
     """Forward + objective for one microbatch. Returns (total_loss, loss_dict).
 
     Batch contract (all fixed-shape, jit-friendly):
@@ -80,7 +81,7 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
     out = m.clip_forward(params, pixel_values, input_ids, model_cfg,
                          dtype=dtype, use_pallas=use_pallas,
                          remat=cfg.remat, unroll=cfg.unroll_layers,
-                         quant=cfg.quant)
+                         quant=cfg.quant, pipeline=pipeline)
 
     if cfg.loss_type == "sparc":
         # Project full hidden sequences into the shared space
@@ -103,7 +104,8 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
         ek_cf = m.encode_text(params, cf.reshape(B * N, T), model_cfg,
                               dtype=dtype, use_pallas=use_pallas,
                               remat=cfg.remat, unroll=cfg.unroll_layers,
-                              quant=cfg.quant).reshape(B, N, -1)
+                              quant=cfg.quant,
+                              pipeline=pipeline).reshape(B, N, -1)
         losses = L.count_loss(
             out.logits_per_image, out.logits_per_text,
             out.image_embeds, out.text_embeds, ek_cf,
@@ -115,7 +117,8 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
             ek = m.encode_text(params, group.reshape(B * G, T), model_cfg,
                                dtype=dtype, use_pallas=use_pallas,
                                remat=cfg.remat, unroll=cfg.unroll_layers,
-                               quant=cfg.quant).reshape(B, G, -1)
+                               quant=cfg.quant,
+                               pipeline=pipeline).reshape(B, G, -1)
         else:
             ek = None
         losses = L.clip_count_loss(out.image_embeds, out.text_embeds, ek,
@@ -131,7 +134,8 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
 # ---------------------------------------------------------------------------
 
 def _accumulated_grads(params, batch: Batch, cfg: TrainConfig,
-                       model_cfg: CLIPConfig, dtype, vary_axis=None):
+                       model_cfg: CLIPConfig, dtype, vary_axis=None,
+                       pipeline=None):
     """Scan over the leading accumulation axis; returns (grads, loss_dict)
     averaged over microbatches (≡ reference's loss/accum scaling,
     finetuner.py:145). ``vary_axis``: when called inside shard_map, the mesh
@@ -139,7 +143,8 @@ def _accumulated_grads(params, batch: Batch, cfg: TrainConfig,
     shard_map type system distinguishes device-invariant from
     device-varying values)."""
     grad_fn = jax.value_and_grad(
-        lambda p, mb: compute_loss(p, mb, cfg, model_cfg, dtype=dtype),
+        lambda p, mb: compute_loss(p, mb, cfg, model_cfg, dtype=dtype,
+                                   pipeline=pipeline),
         has_aux=True)
 
     accum = jax.tree.leaves(batch)[0].shape[0]
@@ -159,8 +164,8 @@ def _accumulated_grads(params, batch: Batch, cfg: TrainConfig,
     l0 = jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.float32), l0)
 
     if vary_axis is not None:
-        g0 = jax.tree.map(lambda x: jax.lax.pvary(x, vary_axis), g0)
-        l0 = jax.tree.map(lambda x: jax.lax.pvary(x, vary_axis), l0)
+        g0 = jax.tree.map(lambda x: jax.lax.pcast(x, vary_axis, to='varying'), g0)
+        l0 = jax.tree.map(lambda x: jax.lax.pcast(x, vary_axis, to='varying'), l0)
 
     (grads, losses), _ = jax.lax.scan(
         body, (g0, l0), batch, length=accum,
@@ -184,10 +189,32 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
     """
     dtype = compute_dtype(cfg)
 
-    def grads_and_metrics(params, batch):
-        return _accumulated_grads(params, batch, cfg, model_cfg, dtype)
-
     tp = mesh.shape.get(pmesh.MODEL_AXIS, 1) if mesh is not None else 1
+    pp = mesh.shape.get(pmesh.PIPE_AXIS, 1) if mesh is not None else 1
+    pipeline = None
+    if pp > 1:
+        from ..parallel.pipeline import PipelineSpec, default_num_micro
+        if not cfg.global_negatives:
+            raise ValueError(
+                "pipeline parallelism (mesh.pipe > 1) requires "
+                "global_negatives=True: the DDP-parity shard_map path "
+                "assumes replicated params")
+        if tp > 1:
+            raise ValueError("pipeline parallelism composed with tensor "
+                             "parallelism (mesh.model > 1) is not "
+                             "supported")
+        if cfg.unstack_layers:
+            raise ValueError("pipeline parallelism requires the stacked "
+                             "layer layout (unstack_layers=False): stages "
+                             "are shards of the stacked [L, ...] leaves")
+        pipeline = PipelineSpec(
+            mesh=mesh,
+            num_micro=default_num_micro(pp, cfg.pipeline_microbatches))
+
+    def grads_and_metrics(params, batch):
+        return _accumulated_grads(params, batch, cfg, model_cfg, dtype,
+                                  pipeline=pipeline)
+
     if mesh is not None and not cfg.global_negatives:
         if tp > 1:
             raise ValueError(
@@ -211,7 +238,7 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
             # grads n_devices x too large. Pinned against a per-shard
             # oracle in tests/test_train_engine.py and __graft_entry__.py.
             params = jax.tree.map(
-                lambda p: jax.lax.pvary(p, pmesh.DATA_AXIS), params)
+                lambda p: jax.lax.pcast(p, pmesh.DATA_AXIS, to='varying'), params)
             grads, losses = _accumulated_grads(params, batch, cfg,
                                                model_cfg, dtype,
                                                vary_axis=pmesh.DATA_AXIS)
@@ -235,13 +262,16 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
 
     if mesh is not None:
         bsh = pmesh.batch_sharding(mesh, accum_axis=True)
-        if tp > 1:
-            # TP: params/opt_state keep whatever (Megatron-style) layout
-            # the caller placed them with (parallel/sharding_rules.py);
+        if tp > 1 or pp > 1:
+            # TP/PP: params/opt_state keep whatever layout the caller
+            # placed them with (parallel/sharding_rules.py Megatron specs,
+            # or parallel/pipeline.py stage-sharded [L, ...] leaves);
             # in_shardings=None ⇒ follow the argument placements and let
             # the partitioner insert the ICI collectives. With ZeRO-1 the
             # opt-state layout is pinned explicitly so donation can't
-            # silently re-replicate it.
+            # silently re-replicate it. (Steady-state layouts across steps
+            # are checked in tests: the partitioner propagates the input
+            # placements to the updated params/opt-state outputs.)
             return jax.jit(train_step,
                            in_shardings=(None, opt_shardings, bsh),
                            out_shardings=(None, opt_shardings, None)
@@ -296,6 +326,13 @@ class Trainer:
                                                    validate_tp_divisibility)
             validate_tp_divisibility(params, self.mesh)
             self.params = shard_params(params, self.mesh)
+        elif cfg.mesh.pipe > 1:
+            from ..parallel.pipeline import (shard_params_pipeline,
+                                             validate_pipe_divisibility)
+            validate_pipe_divisibility(self.model_cfg, cfg.mesh,
+                                       cfg.batch_size,
+                                       cfg.pipeline_microbatches)
+            self.params = shard_params_pipeline(params, self.mesh)
         else:
             self.params = pmesh.replicate(params, self.mesh)
         if cfg.unstack_layers:

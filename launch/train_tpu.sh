@@ -28,10 +28,13 @@ RESUME_FLAG=""
 # 1000 pairs/s/chip on ViT-B/16. Memory-bound configs (ViT-L/14 on a
 # v5e-8): EXTRA="--zero1" shards the optimizer state 1/dp per chip;
 # MP=2 adds Megatron tensor parallelism (implies the stacked layout);
+# PP=2/4 adds GPipe pipeline stages instead (parallel/pipeline.py);
 # EXTRA="--remat dots" trades FLOPs for HBM.
 MP=${MP:-1}
+PP=${PP:-1}
 LAYOUT_FLAGS="--unstack-layers"
 [ "$MP" -gt 1 ] && LAYOUT_FLAGS="--model-parallel $MP"
+[ "$PP" -gt 1 ] && LAYOUT_FLAGS="--pipeline-parallel $PP"
 
 exec python -m clip_finegrained_alignment_tpu.cli.train \
   --annotations "$ANNOTATIONS" \

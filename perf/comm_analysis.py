@@ -106,18 +106,31 @@ def build(strategy: str, n: int = 8):
     model (batch 2/device, accum 2 — collective *structure* is batch- and
     width-independent; magnitudes are projected analytically)."""
     model_cfg = CLIPConfig.tiny_test()
-    dp, tp = (n // 2, 2) if "tp" in strategy else (n, 1)
+    dp, tp, pp = (n // 2, 2, 1) if "tp" in strategy else (n, 1, 1)
+    if "pp" in strategy:
+        # GPipe pipeline (parallel/pipeline.py): 4 stages x 1 layer on a
+        # 4-layer tiny variant; collectives = the stage-hop ppermutes.
+        import dataclasses
+        dp, tp, pp = n // 4, 1, 4
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            vision=dataclasses.replace(model_cfg.vision, num_layers=4),
+            text=dataclasses.replace(model_cfg.text, num_layers=4))
     cfg = TrainConfig(
         clip_model="tiny", loss_type="sparc", optimizer_type="adamspd",
         inverse_temperature=0.07, batch_size=2 * n,
         gradient_accumulation_steps=2, use_amp=False,
         global_negatives=(strategy != "dp_parity"),
         zero1="zero1" in strategy,
-        mesh=MeshConfig(data=dp, model=tp))
+        mesh=MeshConfig(data=dp, model=tp, pipe=pp))
     mesh = pmesh.make_mesh(cfg.mesh, jax.devices()[:n])
     params = m.init_clip_params(jax.random.key(0), model_cfg)
     if tp > 1:
         params = shard_params(params, mesh)
+    if pp > 1:
+        from clip_finegrained_alignment_tpu.parallel.pipeline import \
+            shard_params_pipeline
+        params = shard_params_pipeline(params, mesh)
     opt = make_optimizer(cfg, params,
                          anchor_params=jax.tree.map(jnp.copy, params))
     opt_state = opt.init(params)
@@ -143,7 +156,8 @@ def build(strategy: str, n: int = 8):
     return step.lower(params, opt_state, batch)
 
 
-STRATEGIES = ("dp_parity", "dp_global", "dp_zero1", "dp_tp", "dp_tp_zero1")
+STRATEGIES = ("dp_parity", "dp_global", "dp_zero1", "dp_tp", "dp_tp_zero1",
+              "dp_pp")
 
 
 def project(n: int = 8, b_local: int = 64):

@@ -85,6 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard optimizer state (AdamSPD mu/nu/anchors) "
                         "over the data axis, ZeRO-1 style — ~1/n_devices "
                         "optimizer memory per chip, identical math")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard PARAMS over the data axis, FSDP/ZeRO-3 "
+                        "style — params AND optimizer state drop "
+                        "~1/n_devices per chip; GSPMD inserts the "
+                        "per-use weight all-gather + gradient "
+                        "reduce-scatter over ICI. Subsumes --zero1; "
+                        "requires --global-negatives; identical math")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="Megatron-style tensor-parallel degree (the "
                         "'model' mesh axis; devices = data x model). "
@@ -174,6 +181,7 @@ def main(argv=None) -> None:
         unstack_layers=args.unstack_layers, quant=args.quant,
         remat={"0": False, "1": True, "dots": "dots"}[args.remat],
         global_negatives=args.global_negatives, zero1=args.zero1,
+        fsdp=args.fsdp,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
         pipeline_microbatches=args.pipeline_microbatches,
         mesh=MeshConfig(

@@ -244,6 +244,16 @@ class TrainConfig:
                                           # state drops ~1/dp; XLA re-gathers
                                           # updated params over ICI. Identical
                                           # math (parallel/sharding_rules.py)
+    fsdp: bool = False                    # shard PARAMS (and, inherited,
+                                          # the optimizer state) over the
+                                          # data axis — FSDP/ZeRO-3
+                                          # (parallel/sharding_rules.py::
+                                          # fsdp_param_specs): per-chip
+                                          # params+state drop ~1/dp; GSPMD
+                                          # emits the per-use weight
+                                          # all-gather + grad
+                                          # reduce-scatter. Subsumes zero1.
+                                          # Identical math.
     pipeline_microbatches: int = 0        # GPipe microbatches per train
                                           # microbatch when mesh.pipe > 1
                                           # (parallel/pipeline.py); 0 = auto

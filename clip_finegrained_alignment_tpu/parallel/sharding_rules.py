@@ -1,4 +1,5 @@
-"""Parameter sharding rules: DP replication + optional tensor parallelism.
+"""Parameter sharding rules: DP replication, tensor parallelism, ZeRO-1,
+and FSDP/ZeRO-3.
 
 The reference has exactly one strategy — DDP data parallelism
 (SURVEY.md §2.2) — which maps to replicated params and a batch-sharded
@@ -76,27 +77,17 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 
 
 # ---------------------------------------------------------------------------
-# ZeRO-1: optimizer-state sharding over the data axis
+# Data-axis sharding of params-shaped trees (shared by ZeRO-1 and FSDP)
 # ---------------------------------------------------------------------------
 
-def zero1_opt_specs(opt_state: Any, mesh: Mesh) -> Any:
-    """PartitionSpec pytree sharding optimizer-state leaves over ``data``.
-
-    The reference replicates optimizer state on every rank (DDP keeps a
-    full Adam copy per GPU, ``dist_finetuner.py:57``); AdamSPD quadruples
-    that (mu, nu, anchors + master params — 6.9 GB for ViT-L/14,
-    BASELINE.md). ZeRO-1 shards each state leaf over the ``data`` axis:
-    the jitted step's elementwise optimizer math then runs on 1/dp of
-    every tensor per chip and XLA inserts the ICI collectives that
-    re-assemble the (replicated) updated params — no manual
-    reduce-scatter/all-gather code, exactly the partitioner's job.
+def _data_axis_specs(tree: Any, mesh: Mesh) -> Any:
+    """PartitionSpec pytree sharding every leaf of a params-shaped tree
+    over ``data``, on top of whatever TP/PP base layout applies.
 
     Per leaf: shard the largest dim divisible by ``dp`` that the TP rules
-    (active only when ``model > 1``) leave unsharded; leaves with no such
-    dim (scalars, small embeddings, the step counter) stay replicated.
-    AdamSPD's per-tensor SPD norms become cross-device reductions the
-    partitioner also handles (pinned vs the replicated oracle in
-    tests/test_train_engine.py).
+    (active only when ``model > 1``) and the pipeline stage dim (active
+    only when ``pipe > 1``) leave unsharded; leaves with no such dim
+    (scalars, small embeddings, the step counter) stay replicated.
     """
     dp = mesh.shape.get(DATA_AXIS, 1)
     tp = mesh.shape.get(MODEL_AXIS, 1)
@@ -131,7 +122,63 @@ def zero1_opt_specs(opt_state: Any, mesh: Mesh) -> Any:
             spec[best] = DATA_AXIS
         return P(*spec)
 
-    return jax.tree_util.tree_map_with_path(spec_for, opt_state)
+    return jax.tree_util.tree_map_with_path(spec_for, tree)
+
+
+def zero1_opt_specs(opt_state: Any, mesh: Mesh) -> Any:
+    """PartitionSpec pytree sharding optimizer-state leaves over ``data``.
+
+    The reference replicates optimizer state on every rank (DDP keeps a
+    full Adam copy per GPU, ``dist_finetuner.py:57``); AdamSPD quadruples
+    that (mu, nu, anchors + master params — 6.9 GB for ViT-L/14,
+    BASELINE.md). ZeRO-1 shards each state leaf over the ``data`` axis:
+    the jitted step's elementwise optimizer math then runs on 1/dp of
+    every tensor per chip and XLA inserts the ICI collectives that
+    re-assemble the (replicated) updated params — no manual
+    reduce-scatter/all-gather code, exactly the partitioner's job.
+    AdamSPD's per-tensor SPD norms become cross-device reductions the
+    partitioner also handles (pinned vs the replicated oracle in
+    tests/test_train_engine.py).
+    """
+    return _data_axis_specs(opt_state, mesh)
+
+
+# ---------------------------------------------------------------------------
+# FSDP / ZeRO-3: parameter sharding over the data axis
+# ---------------------------------------------------------------------------
+
+def fsdp_param_specs(params: Any, mesh: Mesh) -> Any:
+    """PartitionSpec pytree sharding *parameters* over ``data`` — the
+    ZeRO-3/FSDP layout, one step past ZeRO-1.
+
+    Between steps each chip stores 1/dp of every weight (and, since optax
+    states are ``zeros_like``/copies of params, 1/dp of the mu/nu/anchor
+    buffers too — ZeRO-1 is subsumed). Inside the jitted step the
+    partitioner inserts the per-use all-gather that re-assembles each
+    weight right before its matmul and a reduce-scatter of its gradient —
+    the FSDP schedule, emitted by GSPMD from nothing but these
+    ``NamedSharding``s. Compute cost: one extra param-tree all-gather
+    per forward (+ its transpose), ~0.6 GB/step for ViT-B/16 — same order
+    as ZeRO-1's update gather (docs/SCALING.md); the win is params
+    dropping 1/dp per chip, on the axis that is already there (no TP
+    divisibility constraints on the model dims).
+
+    Composes with TP (Megatron dims claimed first) and with the pipeline
+    stage dim. Identical math to the replicated layout — pinned vs the
+    replicated oracle in tests/test_train_engine.py.
+    """
+    return _data_axis_specs(params, mesh)
+
+
+def fsdp_param_shardings(params: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                        fsdp_param_specs(params, mesh))
+
+
+def shard_params_fsdp(params: Any, mesh: Mesh) -> Any:
+    """Lay a param tree onto the mesh FSDP-style (data-axis sharded)."""
+    return jax.tree.map(jax.device_put, params,
+                        fsdp_param_shardings(params, mesh))
 
 
 def zero1_opt_shardings(opt_state: Any, mesh: Mesh) -> Any:

@@ -179,13 +179,17 @@ def _accumulated_grads(params, batch: Batch, cfg: TrainConfig,
 def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
                     optimizer: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
-                    opt_shardings=None) -> Callable:
+                    opt_shardings=None, param_shardings=None) -> Callable:
     """Build the jitted ``train_step(params, opt_state, batch)``.
 
     ``batch`` leaves are [accum, B, ...] where B is the **global** batch; on a
     mesh, B is sharded over the ``data`` axis. ``opt_shardings``: optional
     NamedSharding pytree for the optimizer state (the ZeRO-1 layout,
     ``parallel/sharding_rules.py::zero1_opt_shardings``); None = replicated.
+    ``param_shardings``: optional NamedSharding pytree pinning the param
+    layout across steps (the FSDP layout,
+    ``sharding_rules.py::fsdp_param_shardings``); None = replicated
+    (or caller-placed for TP/PP).
     """
     dtype = compute_dtype(cfg)
 
@@ -210,6 +214,19 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
         pipeline = PipelineSpec(
             mesh=mesh,
             num_micro=default_num_micro(pp, cfg.pipeline_microbatches))
+
+    if cfg.fsdp:
+        if not cfg.global_negatives:
+            raise ValueError(
+                "fsdp requires global_negatives=True: the DDP-parity "
+                "shard_map path assumes replicated params")
+        if cfg.zero1:
+            raise ValueError("fsdp subsumes zero1 (optimizer state "
+                             "inherits the data-sharded param layout); "
+                             "enable only one")
+        if cfg.unstack_layers:
+            raise ValueError("fsdp requires the stacked layer layout "
+                             "(unstack_layers=False)")
 
     def grads_and_metrics(params, batch):
         return _accumulated_grads(params, batch, cfg, model_cfg, dtype,
@@ -273,15 +290,22 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
             # are checked in tests: the partitioner propagates the input
             # placements to the updated params/opt-state outputs.)
             return jax.jit(train_step,
-                           in_shardings=(None, opt_shardings, bsh),
-                           out_shardings=(None, opt_shardings, None)
-                           if opt_shardings is not None else None,
+                           in_shardings=(param_shardings, opt_shardings,
+                                         bsh),
+                           out_shardings=(param_shardings, opt_shardings,
+                                          None)
+                           if (opt_shardings is not None
+                               or param_shardings is not None) else None,
                            donate_argnums=(0, 1))
         repl = pmesh.replicated(mesh)
+        # FSDP passes BOTH pytrees (the opt layout is derived from the
+        # actual state leaves in Trainer, since optax states inherit the
+        # fsdp param placement at init); ZeRO-1 passes opt_shardings only.
+        psh = param_shardings if param_shardings is not None else repl
         osh = opt_shardings if opt_shardings is not None else repl
         return jax.jit(train_step,
-                       in_shardings=(repl, osh, bsh),
-                       out_shardings=(repl, osh, repl),
+                       in_shardings=(psh, osh, bsh),
+                       out_shardings=(psh, osh, repl),
                        donate_argnums=(0, 1))
     return jax.jit(train_step, donate_argnums=(0, 1))
 
@@ -335,6 +359,18 @@ class Trainer:
             self.params = shard_params_pipeline(params, self.mesh)
         else:
             self.params = pmesh.replicate(params, self.mesh)
+        self._param_shardings = None
+        if cfg.fsdp and self.mesh is not None \
+                and self.mesh.shape.get(pmesh.DATA_AXIS, 1) > 1:
+            # FSDP/ZeRO-3: re-lay params data-axis-sharded (on top of any
+            # TP/PP base layout — the specs compose,
+            # sharding_rules.py::fsdp_param_specs); the anchor deepcopy
+            # and optimizer zeros below inherit it, which IS the ZeRO-3
+            # state picture.
+            from ..parallel.sharding_rules import fsdp_param_shardings
+            self._param_shardings = fsdp_param_shardings(params, self.mesh)
+            self.params = jax.tree.map(jax.device_put, self.params,
+                                       self._param_shardings)
         if cfg.unstack_layers:
             if cfg.mesh.model > 1:
                 raise ValueError("unstack_layers is not supported with "
@@ -362,9 +398,21 @@ class Trainer:
                                                       self.mesh)
             self.opt_state = jax.tree.map(jax.device_put, self.opt_state,
                                           self._opt_shardings)
-        self.train_step = make_train_step(cfg, self.model_cfg,
-                                          self.optimizer, self.mesh,
-                                          opt_shardings=self._opt_shardings)
+        elif self._param_shardings is not None:
+            # FSDP: the state layout is the same data-axis rule the params
+            # got (optax states are params-shaped), pinned explicitly so
+            # donation across steps can't silently re-replicate it — and
+            # so optax-internal scalars (e.g. ``count``, created on the
+            # default device by init) land on the mesh.
+            from ..parallel.sharding_rules import zero1_opt_shardings
+            self._opt_shardings = zero1_opt_shardings(self.opt_state,
+                                                      self.mesh)
+            self.opt_state = jax.tree.map(jax.device_put, self.opt_state,
+                                          self._opt_shardings)
+        self.train_step = make_train_step(
+            cfg, self.model_cfg, self.optimizer, self.mesh,
+            opt_shardings=self._opt_shardings,
+            param_shardings=self._param_shardings)
         self.global_step = 0
         self.best_loss = float("inf")
         self.checkpoint_manager = checkpoint_manager
@@ -399,9 +447,14 @@ class Trainer:
         if self.cfg.unstack_layers:
             params = m.unstack_layers(params)
             opt_state = _map_param_trees(m.unstack_layers, opt_state)
+        if self._param_shardings is not None:
+            # FSDP runtime layout: restored params go back onto the
+            # data-sharded placement the jitted step expects.
+            params = jax.tree.map(jax.device_put, params,
+                                  self._param_shardings)
         if self._opt_shardings is not None:
-            # ZeRO-1 runtime layout: restored state (whatever layout the
-            # checkpoint was written/read with) goes back onto the
+            # ZeRO-1/FSDP runtime layout: restored state (whatever layout
+            # the checkpoint was written/read with) goes back onto the
             # data-sharded placement the jitted step expects.
             opt_state = jax.tree.map(jax.device_put, opt_state,
                                      self._opt_shardings)

@@ -121,16 +121,22 @@ def build(strategy: str, n: int = 8):
         inverse_temperature=0.07, batch_size=2 * n,
         gradient_accumulation_steps=2, use_amp=False,
         global_negatives=(strategy != "dp_parity"),
-        zero1="zero1" in strategy,
+        zero1="zero1" in strategy, fsdp="fsdp" in strategy,
         mesh=MeshConfig(data=dp, model=tp, pipe=pp))
     mesh = pmesh.make_mesh(cfg.mesh, jax.devices()[:n])
     params = m.init_clip_params(jax.random.key(0), model_cfg)
+    psh = None
     if tp > 1:
         params = shard_params(params, mesh)
     if pp > 1:
         from clip_finegrained_alignment_tpu.parallel.pipeline import \
             shard_params_pipeline
         params = shard_params_pipeline(params, mesh)
+    if cfg.fsdp:
+        from clip_finegrained_alignment_tpu.parallel.sharding_rules import \
+            fsdp_param_shardings
+        psh = fsdp_param_shardings(params, mesh)
+        params = jax.tree.map(jax.device_put, params, psh)
     opt = make_optimizer(cfg, params,
                          anchor_params=jax.tree.map(jnp.copy, params))
     opt_state = opt.init(params)
@@ -138,7 +144,11 @@ def build(strategy: str, n: int = 8):
     if cfg.zero1:
         osh = zero1_opt_shardings(opt_state, mesh)
         opt_state = jax.tree.map(jax.device_put, opt_state, osh)
-    step = make_train_step(cfg, model_cfg, opt, mesh=mesh, opt_shardings=osh)
+    elif cfg.fsdp:
+        osh = zero1_opt_shardings(opt_state, mesh)
+        opt_state = jax.tree.map(jax.device_put, opt_state, osh)
+    step = make_train_step(cfg, model_cfg, opt, mesh=mesh, opt_shardings=osh,
+                           param_shardings=psh)
 
     rng = np.random.default_rng(0)
     v, t = model_cfg.vision, model_cfg.text
@@ -156,8 +166,8 @@ def build(strategy: str, n: int = 8):
     return step.lower(params, opt_state, batch)
 
 
-STRATEGIES = ("dp_parity", "dp_global", "dp_zero1", "dp_tp", "dp_tp_zero1",
-              "dp_pp")
+STRATEGIES = ("dp_parity", "dp_global", "dp_zero1", "dp_fsdp", "dp_tp",
+              "dp_tp_zero1", "dp_pp")
 
 
 def project(n: int = 8, b_local: int = 64):

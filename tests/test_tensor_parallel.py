@@ -127,6 +127,52 @@ def test_tp_zero1_composition_matches_single_device(rng, eight_devices):
                                    rtol=3e-4, atol=3e-5)
 
 
+def test_tp_fsdp_composition_matches_single_device(rng, eight_devices):
+    """FSDP over data composed with Megatron TP over model: each PARAM
+    leaf carries BOTH axes where divisible (sharding_rules.py::
+    fsdp_param_specs claims the TP dims first), and the (4, 2) mesh step
+    still equals single-device math."""
+    from clip_finegrained_alignment_tpu.parallel.sharding_rules import (
+        fsdp_param_shardings, fsdp_param_specs, zero1_opt_shardings)
+    cfg = tiny_train_config(global_negatives=True, use_amp=False,
+                            optimizer_type="adamspd", fsdp=True,
+                            gradient_accumulation_steps=1, batch_size=8,
+                            mesh=MeshConfig(data=4, model=2))
+    params = m.init_clip_params(jax.random.key(4), CFG)
+    batch = make_batch(rng, 8, accum=1)
+
+    opt1 = make_optimizer(cfg, params,
+                          anchor_params=jax.tree.map(jnp.copy, params))
+    step1 = make_train_step(cfg, CFG, opt1, mesh=None)
+    p1, _, m1 = step1(jax.tree.map(jnp.copy, params),
+                      opt1.init(jax.tree.map(jnp.copy, params)),
+                      dict(batch))
+
+    mesh = pmesh.make_mesh(cfg.mesh, eight_devices)
+    from jax.sharding import PartitionSpec as P
+    specs = fsdp_param_specs(params, mesh)
+    assert specs["vision"]["layers"]["fc1"]["kernel"] \
+        == P(None, "data", "model"), specs["vision"]["layers"]["fc1"]
+    psh = fsdp_param_shardings(params, mesh)
+    sp = jax.tree.map(jax.device_put, params, psh)
+    opt = make_optimizer(cfg, sp,
+                         anchor_params=jax.tree.map(jnp.copy, sp))
+    so = opt.init(sp)
+    osh = zero1_opt_shardings(so, mesh)
+    so = jax.tree.map(jax.device_put, so, osh)
+    step_f = make_train_step(cfg, CFG, opt, mesh=mesh, opt_shardings=osh,
+                             param_shardings=psh)
+    p2, _, m2 = step_f(sp, so,
+                       pmesh.shard_batch(dict(batch), mesh,
+                                         accum_axis=True))
+
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+
 def test_tp_requires_global_negatives(eight_devices):
     cfg = tiny_train_config(global_negatives=False,
                             mesh=MeshConfig(data=4, model=2))

@@ -201,6 +201,71 @@ def test_zero1_matches_replicated(rng, eight_devices, global_negatives):
     assert z1_bytes < 0.3 * rep_bytes, (z1_bytes, rep_bytes)
 
 
+def test_fsdp_matches_replicated(rng, eight_devices):
+    """FSDP/ZeRO-3 (params data-axis-sharded, optimizer state inheriting
+    the layout) must produce the identical training trajectory as the
+    replicated layout while actually holding ~1/dp of params AND state
+    per device — one step past ZeRO-1 (sharding_rules.py::
+    fsdp_param_specs)."""
+    batch = make_batch(rng, 16)
+
+    def run(fsdp):
+        cfg = tiny_train_config(optimizer_type="adamspd",
+                                gradient_accumulation_steps=1,
+                                batch_size=16, fsdp=fsdp,
+                                global_negatives=True,
+                                mesh=MeshConfig(data=8, model=1))
+        mesh = pmesh.make_mesh(MeshConfig(data=8, model=1), eight_devices)
+        trainer = Trainer(cfg,
+                          params=m.init_clip_params(jax.random.key(3), CFG),
+                          mesh=mesh)
+        for _ in range(3):
+            metrics = trainer.step(batch)
+        return trainer, metrics
+
+    t_rep, m_rep = run(fsdp=False)
+    t_f, m_f = run(fsdp=True)
+
+    np.testing.assert_allclose(float(m_f["total_loss"]),
+                               float(m_rep["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(t_rep.params),
+                    jax.tree.leaves(t_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+    def device0_bytes(tree):
+        total = 0
+        for leaf in jax.tree.leaves(tree):
+            if isinstance(leaf, jax.Array) and leaf.addressable_shards:
+                sh = leaf.addressable_shards[0]
+                total += int(np.prod(sh.data.shape)) * leaf.dtype.itemsize
+        return total
+
+    # Params AND optimizer state both drop (vs ZeRO-1, which only moves
+    # the state); a handful of non-divisible leaves stay replicated.
+    assert device0_bytes(t_f.params) < 0.3 * device0_bytes(t_rep.params)
+    assert device0_bytes(t_f.opt_state) < 0.3 * device0_bytes(t_rep.opt_state)
+    # Steady state: updated params keep the data-sharded layout.
+    spec = t_f.params["vision"]["layers"]["fc1"]["kernel"].sharding.spec
+    assert "data" in jax.tree.leaves(tuple(spec)), spec
+
+
+def test_fsdp_validation_errors(eight_devices):
+    from clip_finegrained_alignment_tpu.train.engine import make_train_step
+    from clip_finegrained_alignment_tpu.optim.factory import make_optimizer
+    mesh = pmesh.make_mesh(MeshConfig(data=8, model=1), eight_devices)
+    params = m.init_clip_params(jax.random.key(0), CFG)
+    opt = make_optimizer(tiny_train_config(), params)
+    for kw, msg in (
+            (dict(fsdp=True, global_negatives=False), "global_negatives"),
+            (dict(fsdp=True, global_negatives=True, zero1=True),
+             "subsumes"),
+            (dict(fsdp=True, global_negatives=True, unstack_layers=True),
+             "stacked")):
+        with pytest.raises(ValueError, match=msg):
+            make_train_step(tiny_train_config(**kw), CFG, opt, mesh=mesh)
+
+
 def test_grad_accum_equals_fused_mean(rng):
     """accum=4 microbatch grads must equal the mean of the four separate
     per-microbatch grads (the reference's loss/accum scaling,

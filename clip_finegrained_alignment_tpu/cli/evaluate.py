@@ -32,6 +32,14 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--output-dir", default="eval_results")
         sp.add_argument("--bpe-path", default=None)
         sp.add_argument("--pallas", action="store_true")
+        sp.add_argument("--data-parallel", type=int, default=0,
+                        metavar="N",
+                        help="shard each eval batch over N devices "
+                             "(params replicated; batch-size must be "
+                             "divisible by N; 0 = single device). The "
+                             "reference runs every protocol serially on "
+                             "1 GPU; this streams the same protocol "
+                             "data-parallel across the mesh")
 
     cb = sub.add_parser("countbench")
     common(cb)
@@ -147,6 +155,16 @@ def main(argv=None) -> None:
             args.dataset = os.path.join(fix_dir, "vlmsblind_fixture.json")
         print(f"generated procedural fixture: {args.dataset}")
 
+    mesh = None
+    if args.data_parallel > 1:
+        import jax
+
+        from ..config import MeshConfig
+        from ..parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(MeshConfig(data=args.data_parallel),
+                               jax.devices()[:args.data_parallel])
+        print(f"eval mesh: {args.data_parallel}-way data parallel")
+
     if args.command == "countbench":
         from ..eval.countbench import CountBenchEvaluator, load_countbench
         ev = CountBenchEvaluator(
@@ -154,7 +172,8 @@ def main(argv=None) -> None:
             margin=args.margin, number_format=args.format,
             template_position=args.position, tokenizer=tokenizer,
             batch_size=args.batch_size, use_pallas=args.pallas,
-            debug_dir=args.debug_dir, samples_of_interest=args.samples)
+            debug_dir=args.debug_dir, samples_of_interest=args.samples,
+            mesh=mesh)
         samples = load_countbench(args.dataset)
         results = ev.evaluate_dataset(samples)
         metrics = ev.compute_metrics(results)
@@ -166,7 +185,8 @@ def main(argv=None) -> None:
         ev = VLMsBlindEvaluator(
             params, model_cfg, confidence=args.confidence,
             margin=args.margin, tokenizer=tokenizer,
-            batch_size=args.batch_size, use_pallas=args.pallas)
+            batch_size=args.batch_size, use_pallas=args.pallas,
+            mesh=mesh)
         samples = load_vlmsblind(args.dataset)
         metrics = ev.run_all_tasks(samples, output_dir=args.output_dir)
         print(json.dumps(metrics, indent=2))
@@ -180,7 +200,8 @@ def main(argv=None) -> None:
         ev = CropDetectionEvaluator(
             params, model_cfg, tokenizer=tokenizer,
             batch_size=args.batch_size,
-            use_pallas=args.pallas, use_white_square=args.white_square)
+            use_pallas=args.pallas, use_white_square=args.white_square,
+            mesh=mesh)
         results = ev.run_evaluation(source, num_samples=args.samples,
                                     debug_dir=args.debug_dir)
         ev.save(results, args.output)

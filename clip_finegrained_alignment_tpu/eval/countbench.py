@@ -115,7 +115,8 @@ class CountBenchEvaluator:
                  tokenizer=None, batch_size: int = 32,
                  dtype=None, use_pallas: bool = False, seed: int = 0,
                  debug_dir: Optional[str] = None,
-                 samples_of_interest: Optional[Sequence[int]] = None):
+                 samples_of_interest: Optional[Sequence[int]] = None,
+                 mesh=None):
         import jax.numpy as jnp
         if template_position not in ("first", "random"):
             raise ValueError(f"bad template_position {template_position!r}")
@@ -135,7 +136,7 @@ class CountBenchEvaluator:
         self.scorer = TemplateScorer(
             params, model_cfg,
             dtype=dtype if dtype is not None else jnp.float32,
-            use_pallas=use_pallas, pad_to_batch=batch_size)
+            use_pallas=use_pallas, pad_to_batch=batch_size, mesh=mesh)
         self._rng = random.Random(seed)
 
     # ------------------------------------------------------------------

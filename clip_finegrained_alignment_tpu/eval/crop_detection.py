@@ -159,17 +159,27 @@ class CropDetectionEvaluator:
     def __init__(self, params, model_cfg: CLIPConfig, *, tokenizer=None,
                  batch_size: int = 16, dtype=None,
                  use_pallas: bool = False,
-                 use_white_square: bool = False):
+                 use_white_square: bool = False, mesh=None):
         import jax.numpy as jnp
         self.model_cfg = model_cfg
         self.tok = tokenizer if tokenizer is not None else load_tokenizer()
         self.batch_size = batch_size
         self.use_white_square = use_white_square
         self.context_length = model_cfg.text.max_position_embeddings
+        # Mesh eval shards the 6-conditions-per-sample flush batch over
+        # the data axis: pin the scorer to the flush shape (6·chunk)
+        # rounded up to a data-axis multiple; short/debug calls pad up
+        # to it and slice back.
+        pad = None
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            dp = mesh.shape.get(pmesh.DATA_AXIS, 1)
+            rows = 6 * max(1, batch_size // 6)
+            pad = -(-rows // dp) * dp
         self.scorer = TemplateScorer(
             params, model_cfg,
             dtype=dtype if dtype is not None else jnp.float32,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, pad_to_batch=pad, mesh=mesh)
 
     def _score_pairs(self, images: List[np.ndarray],
                      names: List[str]) -> np.ndarray:

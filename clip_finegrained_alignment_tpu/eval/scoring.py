@@ -24,6 +24,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh
 
 from ..config import CLIPConfig
 from ..models import clip as m
@@ -32,12 +33,22 @@ NEG = -1e9
 
 
 class TemplateScorer:
-    """Jitted image×templates probability scorer."""
+    """Jitted image×templates probability scorer.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — shard the sample batch
+    over its ``data`` axis and replicate params, so one eval streams
+    data-parallel across every chip (the reference runs all three
+    protocols on 1 GPU, serially — ``launch_cb_eval.sh``; here the same
+    protocol saturates a v5e-8 with no code change in the evaluators).
+    Requires ``pad_to_batch`` divisible by the data-axis size; the
+    partitioner splits both tower forwards per chip and all-gathers only
+    the [B, NT] probs.
+    """
 
     def __init__(self, params, cfg: CLIPConfig, *, dtype=jnp.float32,
                  use_pallas: bool = False,
-                 pad_to_batch: Optional[int] = None):
-        self.params = params
+                 pad_to_batch: Optional[int] = None,
+                 mesh: Optional[Mesh] = None):
         self.cfg = cfg
         # A dataset's final partial batch would otherwise trace a second
         # program shape (~6 min on the remote-compile TPU path). With
@@ -45,6 +56,19 @@ class TemplateScorer:
         # probs over NEG logits, sliced off) and reuse the one compiled
         # shape.
         self.pad_to_batch = pad_to_batch
+        self._batch_sharding = None
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            dp = mesh.shape.get(pmesh.DATA_AXIS, 1)
+            if pad_to_batch is None or pad_to_batch % dp != 0:
+                raise ValueError(
+                    f"mesh eval needs pad_to_batch divisible by the "
+                    f"data axis ({dp}); got {pad_to_batch}")
+            self._batch_sharding = pmesh.batch_sharding(mesh)
+            params = jax.tree.map(
+                lambda x: jax.device_put(x, pmesh.replicated(mesh)),
+                params)
+        self.params = params
 
         @jax.jit
         def score(params, pixel_values, template_ids, template_mask):
@@ -82,9 +106,13 @@ class TemplateScorer:
                 [template_mask,
                  np.zeros((P - B,) + template_mask.shape[1:],
                           template_mask.dtype)])
-        return np.asarray(self._score(
-            self.params, jnp.asarray(pixel_values),
-            jnp.asarray(template_ids), jnp.asarray(template_mask)))[:B]
+        px, ids, mask = (jnp.asarray(pixel_values),
+                         jnp.asarray(template_ids),
+                         jnp.asarray(template_mask))
+        if self._batch_sharding is not None:
+            px, ids, mask = (jax.device_put(x, self._batch_sharding)
+                             for x in (px, ids, mask))
+        return np.asarray(self._score(self.params, px, ids, mask))[:B]
 
 
 

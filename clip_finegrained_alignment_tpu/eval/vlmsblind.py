@@ -186,7 +186,7 @@ class VLMsBlindEvaluator:
     def __init__(self, params, model_cfg: CLIPConfig, *,
                  confidence: float = 0.25, margin: float = 0.01,
                  tokenizer=None, batch_size: int = 32, dtype=None,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, mesh=None):
         import jax.numpy as jnp
         self.model_cfg = model_cfg
         self.confidence = confidence
@@ -197,7 +197,7 @@ class VLMsBlindEvaluator:
         self.scorer = TemplateScorer(
             params, model_cfg,
             dtype=dtype if dtype is not None else jnp.float32,
-            use_pallas=use_pallas, pad_to_batch=batch_size)
+            use_pallas=use_pallas, pad_to_batch=batch_size, mesh=mesh)
 
     def evaluate_task(self, samples: Sequence[Dict],
                       task: str) -> Dict[str, list]:

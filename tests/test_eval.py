@@ -296,3 +296,89 @@ def test_crop_detection_batched_equals_serial(params):
                 rb[cond]["positive_score"], rs[cond]["positive_score"],
                 rtol=2e-5, atol=2e-6)
             assert rb[cond]["correct"] == rs[cond]["correct"]
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded eval: data-parallel over the virtual 8-device mesh
+# ---------------------------------------------------------------------------
+
+def test_template_scorer_mesh_matches_single_device(params, rng,
+                                                    eight_devices):
+    """The shared scorer with a mesh (batch sharded over ``data``, params
+    replicated) must reproduce the single-device probabilities exactly —
+    including a short batch that pads to the compiled shape."""
+    from clip_finegrained_alignment_tpu.config import MeshConfig
+    from clip_finegrained_alignment_tpu.eval.scoring import TemplateScorer
+    from clip_finegrained_alignment_tpu.parallel import mesh as pmesh
+
+    S = CFG.vision.image_size
+    T = CFG.text.max_position_embeddings
+    NT = 5
+    mesh = pmesh.make_mesh(MeshConfig(data=8), eight_devices)
+    single = TemplateScorer(params, CFG, pad_to_batch=16)
+    sharded = TemplateScorer(params, CFG, pad_to_batch=16, mesh=mesh)
+
+    for B in (16, 9):  # full batch + short batch (pad + slice path)
+        px = rng.normal(size=(B, S, S, 3)).astype(np.float32)
+        ids = rng.integers(0, CFG.text.vocab_size,
+                           size=(B, NT, T)).astype(np.int32)
+        mask = (rng.random((B, NT)) < 0.7).astype(np.float32)
+        mask[:, 0] = 1.0  # at least one valid template per sample
+        p1 = single(px, ids, mask)
+        p2 = sharded(px, ids, mask)
+        assert p2.shape == (B, NT)
+        np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-7)
+
+
+def test_template_scorer_mesh_requires_divisible_pad(params,
+                                                     eight_devices):
+    from clip_finegrained_alignment_tpu.config import MeshConfig
+    from clip_finegrained_alignment_tpu.eval.scoring import TemplateScorer
+    from clip_finegrained_alignment_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(MeshConfig(data=8), eight_devices)
+    for bad_pad in (None, 12):
+        with pytest.raises(ValueError, match="divisible"):
+            TemplateScorer(params, CFG, pad_to_batch=bad_pad, mesh=mesh)
+
+
+def test_countbench_mesh_matches_single_device(params, rng, eight_devices):
+    """CountBench end-to-end with the evaluator on the mesh: identical
+    metrics to the single-device run (same samples, same seed)."""
+    from clip_finegrained_alignment_tpu.config import MeshConfig
+    from clip_finegrained_alignment_tpu.parallel import mesh as pmesh
+
+    samples = [{"image": rand_image(rng), "text": f"A photo of {n} cats",
+                "number": n} for n in [1, 2, 3, 4, 5, 6, 7, 2, 3, 4]]
+
+    def run(mesh):
+        ev = CountBenchEvaluator(params, CFG, tokenizer=TOK, batch_size=8,
+                                 number_format="word", seed=0, mesh=mesh)
+        return ev.compute_metrics(ev.evaluate_dataset(list(samples)))
+
+    m1 = run(None)
+    m2 = run(pmesh.make_mesh(MeshConfig(data=8), eight_devices))
+    assert m1["total_samples"] == m2["total_samples"] == 10
+    for k in ("accuracy", "argmax_accuracy", "avg_confidence"):
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-6)
+
+
+def test_crop_detection_mesh_matches_single_device(params, eight_devices):
+    from clip_finegrained_alignment_tpu.config import MeshConfig
+    from clip_finegrained_alignment_tpu.parallel import mesh as pmesh
+
+    def run(mesh):
+        ev = CropDetectionEvaluator(params, CFG, tokenizer=TOK,
+                                    batch_size=12, mesh=mesh)
+        return ev.run_evaluation(
+            ProceduralObjectSource(image_size=256, seed=7), num_samples=3)
+
+    out1 = run(None)
+    out2 = run(pmesh.make_mesh(MeshConfig(data=8), eight_devices))
+    for r1, r2 in zip(out1["individual_results"],
+                      out2["individual_results"]):
+        assert r1["category"] == r2["category"]
+        for cond in ("original_positive", "crop_05_positive"):
+            np.testing.assert_allclose(r1[cond]["positive_score"],
+                                       r2[cond]["positive_score"],
+                                       rtol=2e-5, atol=2e-6)

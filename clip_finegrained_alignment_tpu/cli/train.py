@@ -275,6 +275,7 @@ def main(argv=None) -> None:
         resume_dir, resume_step = os.path.abspath(ckpt_dir), "best"
 
     start_epoch = 0
+    resume_skip = 0
     if resume_step is not None:
         # Checkpoints always store the stacked-layers layout (engine.py
         # to_checkpoint_format), so `like` must too.
@@ -287,10 +288,16 @@ def main(argv=None) -> None:
         trainer.global_step = meta.get("global_step", 0)
         trainer.best_loss = meta.get("best_loss", float("inf"))
         # start epoch from global_step, as finetuner.py:339-342
-        start_epoch = trainer.global_step // max(
-            1, pipeline.steps_per_epoch())
+        spe = max(1, pipeline.steps_per_epoch())
+        start_epoch = trainer.global_step // spe
+        # Mid-epoch (preemption) checkpoint: resume is step-exact — the
+        # deterministic pipeline replays the interrupted epoch and the
+        # already-applied leading steps are skipped, not re-trained.
+        resume_skip = trainer.global_step % spe
         print(f"resumed from {resume_dir}/{resume_step} at epoch "
-              f"{start_epoch}")
+              f"{start_epoch}"
+              + (f" (skipping {resume_skip} completed steps)"
+                 if resume_skip else ""))
     elif args.import_optimizer_state:
         # True mid-run migration of a reference fine-tune: restore the
         # torch AdamSPD moments / step / SPD anchors alongside the
@@ -371,9 +378,13 @@ def main(argv=None) -> None:
             metrics_log.log(0, count_eval_accuracy=acc)
 
     profiling = {"active": False}
+    skip_once = {"n": resume_skip}
 
     def batches(epoch):
-        for batch in pipeline.epoch(epoch):
+        skip = skip_once.pop("n", 0)  # only the first resumed epoch
+        for i, batch in enumerate(pipeline.epoch(epoch)):
+            if i < skip:
+                continue
             if args.profile_dir and trainer.global_step == 2 \
                     and not profiling["active"]:
                 jax.profiler.start_trace(args.profile_dir)
@@ -388,9 +399,21 @@ def main(argv=None) -> None:
                 metrics_log.log(trainer.global_step,
                                 pairs_per_sec_per_chip=rate)
 
+    # SIGTERM (cluster preemption / TPU maintenance) → emergency
+    # checkpoint at the next step boundary + clean exit; resume with
+    # --resume <ckpt-dir>/preempt (step-exact via the skip above).
+    from ..train.engine import install_preemption_handler
+    install_preemption_handler(trainer)
+
     for epoch in range(start_epoch, args.epochs):
         result = trainer.train(batches, num_epochs=epoch + 1,
                                start_epoch=epoch, log_fn=log_fn)
+        if result.get("preempted"):
+            print(f"preempted: emergency checkpoint at "
+                  f"{os.path.join(ckpt_dir, 'preempt')} "
+                  f"(resume with --resume <that path>)")
+            metrics_log.close()
+            return
         if eval_batch_data is not None:
             png = os.path.join(ckpt_dir, f"confusion_epoch_{epoch}.png")
             acc, _, _ = evaluate_batch(trainer.params, model_cfg,

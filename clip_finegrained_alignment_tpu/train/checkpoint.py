@@ -187,6 +187,27 @@ class CheckpointManager:
             self._save_to(f"epoch_{epoch}", state, meta)
             self._prune_periodic()
 
+    def save_preempt(self, *, epoch: int, params, opt_state,
+                     global_step: int, best_loss: float, avg_loss: float,
+                     config: Optional[TrainConfig] = None) -> None:
+        """Emergency mid-epoch save to ``<dir>/preempt`` (SIGTERM path,
+        ``engine.install_preemption_handler``). Synchronous — the
+        process is about to exit, so the write must be committed (and
+        meta.json flushed) before returning; the atomic tmp+rename
+        inside orbax still guarantees no torn checkpoint if the kill
+        escalates to SIGKILL mid-write."""
+        state = {"params": params, "opt_state": opt_state}
+        meta = {
+            "epoch": epoch,
+            "global_step": global_step,
+            "best_loss": float(best_loss),
+            "avg_loss": float(avg_loss),
+            "preempted": True,
+            "config": config.to_dict() if config is not None else None,
+        }
+        self._save_to("preempt", state, meta)
+        self.wait()
+
     def _epochs_on_disk(self):
         """Committed epoch_<n> dirs (skips orbax in-flight tmp dirs)."""
         out = []

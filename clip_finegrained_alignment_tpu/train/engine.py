@@ -415,6 +415,7 @@ class Trainer:
             param_shardings=self._param_shardings)
         self.global_step = 0
         self.best_loss = float("inf")
+        self.preempt_requested = False
         self.checkpoint_manager = checkpoint_manager
 
     # ------------------------------------------------------------------
@@ -468,6 +469,29 @@ class Trainer:
         self.global_step += 1
         return metrics
 
+    def request_preempt(self) -> None:
+        """Ask the training loop to stop at the next step boundary and
+        write an emergency checkpoint (async-signal-safe: sets a flag).
+
+        The reference has no preemption story at all — a SIGTERM'd run
+        loses everything since its last epoch-end save and recovery is
+        a manual ``--resume`` (SURVEY §5 "recovery is manual"). TPU
+        pods get maintenance-event preemptions routinely, so the engine
+        treats it as a first-class event: ``train`` finishes the
+        in-flight step, saves ``<ckpt>/preempt``, and returns with
+        ``preempted=True``. ``install_preemption_handler`` wires this
+        to SIGTERM."""
+        self.preempt_requested = True
+
+    def _save_preempt(self, epoch: int, avg_loss: float) -> None:
+        if self.checkpoint_manager is None:
+            return
+        ck_params, ck_opt = self.to_checkpoint_format()
+        self.checkpoint_manager.save_preempt(
+            epoch=epoch, params=ck_params, opt_state=ck_opt,
+            global_step=self.global_step, best_loss=self.best_loss,
+            avg_loss=avg_loss, config=self.cfg)
+
     def train(self, batches: Callable[[int], Iterable[Dict[str, np.ndarray]]],
               num_epochs: int, start_epoch: int = 0,
               log_fn: Optional[Callable[[str], None]] = print
@@ -477,7 +501,11 @@ class Trainer:
         Checkpoint policy mirrors the reference: save ``best`` on new
         best epoch-avg loss (finetuner.py:215-218) and periodic every
         ``save_every`` epochs (:220-223 hardcodes 5; we honor the config
-        field the reference defines but ignores)."""
+        field the reference defines but ignores). A pending
+        ``request_preempt`` is honored at the next step boundary: one
+        emergency save to ``preempt/``, then return with
+        ``preempted=True`` (resume is step-exact — the CLI skips the
+        completed steps of the interrupted epoch)."""
         history = []
         for epoch in range(start_epoch, num_epochs):
             t0 = time.perf_counter()
@@ -490,6 +518,16 @@ class Trainer:
                     log_fn(f"epoch {epoch} step {self.global_step} "
                            f"loss {float(metrics['total_loss']):.4f} "
                            f"gnorm {float(metrics['grad_norm']):.3f}")
+                if self.preempt_requested:
+                    self._save_preempt(epoch, total / max(count, 1))
+                    if log_fn:
+                        log_fn(f"preempted at epoch {epoch} step "
+                               f"{self.global_step}: emergency "
+                               f"checkpoint saved")
+                    return {"history": history,
+                            "best_loss": self.best_loss,
+                            "global_step": self.global_step,
+                            "preempted": True}
             avg = total / max(count, 1)
             dt = time.perf_counter() - t0
             pairs = count * self.cfg.effective_batch_size
@@ -512,4 +550,25 @@ class Trainer:
                     best_loss=self.best_loss, avg_loss=avg, is_best=is_best,
                     config=self.cfg)
         return {"history": history, "best_loss": self.best_loss,
-                "global_step": self.global_step}
+                "global_step": self.global_step, "preempted": False}
+
+
+def install_preemption_handler(trainer: "Trainer",
+                               signals=None) -> None:
+    """Route SIGTERM (the cluster/TPU-maintenance kill signal) to
+    ``trainer.request_preempt()`` so a preempted run checkpoints and
+    exits cleanly instead of dying mid-step. Chain-calls any previously
+    installed handler. Main-thread only (CPython signal rule)."""
+    import signal as _signal
+    if signals is None:
+        signals = (_signal.SIGTERM,)
+    for sig in signals:
+        prev = _signal.getsignal(sig)
+
+        def handler(signum, frame, _prev=prev):
+            trainer.request_preempt()
+            if callable(_prev) and _prev not in (
+                    _signal.SIG_IGN, _signal.SIG_DFL):
+                _prev(signum, frame)
+
+        _signal.signal(sig, handler)

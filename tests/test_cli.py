@@ -68,6 +68,25 @@ def test_evaluate_from_cli_checkpoint(workdir, capsys):
     assert 0.0 <= metrics["accuracy"] <= 1.0
 
 
+def test_evaluate_data_parallel_cli(workdir, capsys):
+    """--data-parallel 8 shards the eval batch over the virtual mesh and
+    reproduces the single-device metrics bit-for-bit."""
+    from clip_finegrained_alignment_tpu.cli.evaluate import main
+    outdir = str(workdir / "evalout_dp")
+    main(["countbench", "--model", "tiny", "--dataset", "procedural",
+          "--checkpoint", str(workdir / "ckpts" / "cli_test" / "best"),
+          "--output-dir", outdir, "--batch-size", "8",
+          "--data-parallel", "8"])
+    assert "eval mesh: 8-way data parallel" in capsys.readouterr().out
+    dp = json.loads(
+        open(os.path.join(outdir, "countbench_metrics.json")).read())
+    single = json.loads(
+        open(os.path.join(str(workdir / "evalout"),
+                          "countbench_metrics.json")).read())
+    assert dp["total_samples"] == single["total_samples"]
+    assert abs(dp["accuracy"] - single["accuracy"]) < 1e-9
+
+
 def test_train_count_loss_with_epoch_eval(workdir, capsys):
     from clip_finegrained_alignment_tpu.cli.train import main
     main(["--annotations",
@@ -239,3 +258,48 @@ def test_import_optimizer_state_flag_validation(workdir):
                                      "--pretrained", str(out),
                                      "--import-optimizer-state",
                                      "--experiment-name", "cli_ams"]))
+
+
+def test_preempt_checkpoint_and_cli_resume(workdir, capsys, monkeypatch):
+    """SIGTERM-style preemption through the CLI: the run stops at a step
+    boundary with ckpts/<exp>/preempt, and --resume <preempt dir> is
+    step-exact (skips the completed steps of the interrupted epoch)."""
+    from clip_finegrained_alignment_tpu.cli.train import main
+    from clip_finegrained_alignment_tpu.train.engine import Trainer
+
+    args = ["--annotations",
+            str(workdir / "synth" / "synthetic_annotations.json"),
+            "--model", "tiny", "--loss-type", "clip",
+            "--epochs", "2", "--batch-size", "8",
+            "--grad-accum", "1", "--no-amp", "--lr", "1e-3",
+            "--experiment-name", "cli_preempt",
+            "--checkpoint-dir", str(workdir / "ckpts"),
+            "--save-every", "1"]
+
+    # Deterministic stand-in for the SIGTERM timing: request preemption
+    # right after the 3rd optimizer step (mid-epoch-1 of 2x2 steps).
+    orig_step = Trainer.step
+
+    def step_then_preempt(self, batch):
+        metrics = orig_step(self, batch)
+        if self.global_step == 3:
+            self.request_preempt()
+        return metrics
+
+    monkeypatch.setattr(Trainer, "step", step_then_preempt)
+    main(args)
+    out = capsys.readouterr().out
+    assert "preempted: emergency checkpoint" in out
+    pre_dir = workdir / "ckpts" / "cli_preempt" / "preempt"
+    meta = json.loads((pre_dir / "meta.json").read_text())
+    assert meta["preempted"] is True and meta["global_step"] == 3
+
+    # Resume from the preempt checkpoint: epoch 1 replays with its
+    # completed first step skipped, so exactly one step remains.
+    monkeypatch.setattr(Trainer, "step", orig_step)
+    main(args + ["--resume", str(pre_dir)])
+    out = capsys.readouterr().out
+    assert "skipping 1 completed steps" in out
+    meta2 = json.loads((workdir / "ckpts" / "cli_preempt" / "epoch_1" /
+                        "meta.json").read_text())
+    assert meta2["global_step"] == 4

@@ -513,3 +513,83 @@ def test_quant_trajectory_tracks_bf16(rng, quant):
     assert quantized[-1] < quantized[0]          # optimizes
     for e, q in zip(exact, quantized):           # tracks the exact path
         assert abs(q - e) < 0.25 * abs(e) + 0.05
+
+
+# ---------------------------------------------------------------------------
+# Preemption: SIGTERM-safe emergency checkpoint + step-exact resume
+# ---------------------------------------------------------------------------
+
+def test_preempt_saves_and_resume_is_step_exact(rng, tmp_path):
+    """request_preempt() stops at the next step boundary with a committed
+    preempt/ checkpoint; restoring it and replaying the remaining batches
+    reproduces the uninterrupted trajectory bit-for-bit (the recovery
+    story the reference lacks — SURVEY §5 'recovery is manual')."""
+    from clip_finegrained_alignment_tpu.train.checkpoint import \
+        CheckpointManager
+    cfg = tiny_train_config(gradient_accumulation_steps=1, batch_size=8,
+                            optimizer_type="adamspd")
+    batches = [make_batch(rng, 8) for _ in range(4)]
+    init = m.init_clip_params(jax.random.key(9), CFG)
+
+    # Uninterrupted 4-step run.
+    t_full = Trainer(cfg, params=jax.tree.map(jnp.copy, init))
+    for b in batches:
+        t_full.step(b)
+
+    # Interrupted run: preempt lands during step 3.
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_every=1)
+    t_pre = Trainer(cfg, params=jax.tree.map(jnp.copy, init),
+                    checkpoint_manager=mgr)
+
+    def gen(epoch):
+        for i, b in enumerate(batches):
+            if i == 2:
+                # Set while producing batch 2: the loop steps on it, sees
+                # the flag at the step boundary, and never pulls batch 3.
+                t_pre.request_preempt()
+            yield b
+
+    result = t_pre.train(gen, num_epochs=1)
+    assert result["preempted"] is True
+    assert result["global_step"] == 3  # stopped at the step boundary
+
+    import json
+    import os
+    meta = json.loads(open(os.path.join(str(tmp_path / "ck"), "preempt",
+                                        "meta.json")).read())
+    assert meta["preempted"] is True and meta["global_step"] == 3
+
+    # Step-exact resume: restore + replay only the remaining batch.
+    t_res = Trainer(cfg, params=m.init_clip_params(jax.random.key(1), CFG),
+                    checkpoint_manager=mgr)
+    ck_params, ck_opt = t_res.to_checkpoint_format()
+    state, meta2 = mgr.restore("preempt",
+                               like={"params": ck_params,
+                                     "opt_state": ck_opt})
+    t_res.from_checkpoint_format(state["params"], state["opt_state"])
+    t_res.global_step = meta2["global_step"]
+    t_res.step(batches[3])
+
+    for a, b in zip(jax.tree.leaves(t_full.params),
+                    jax.tree.leaves(t_res.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_preemption_handler_wires_sigterm():
+    import signal
+
+    from clip_finegrained_alignment_tpu.train.engine import \
+        install_preemption_handler
+
+    calls = []
+    prev = signal.getsignal(signal.SIGTERM)
+    try:
+        signal.signal(signal.SIGTERM, lambda s, f: calls.append("prev"))
+        trainer = type("T", (), {"request_preempt":
+                                 lambda self: calls.append("preempt")})()
+        install_preemption_handler(trainer)
+        signal.raise_signal(signal.SIGTERM)
+        assert calls == ["preempt", "prev"]  # chained to the old handler
+    finally:
+        signal.signal(signal.SIGTERM, prev)

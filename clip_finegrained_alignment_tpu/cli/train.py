@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "finetuner.py:286,339-342)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--save-every", type=int, default=5)
+    p.add_argument("--log-every", type=int, default=10,
+                   help="print a loss line every N optimizer steps")
     # TPU-native knobs.
     p.add_argument("--no-amp", action="store_true",
                    help="full fp32 (use_amp=False)")
@@ -183,6 +185,7 @@ def main(argv=None) -> None:
         global_negatives=args.global_negatives, zero1=args.zero1,
         fsdp=args.fsdp,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
+        log_every=args.log_every,
         pipeline_microbatches=args.pipeline_microbatches,
         mesh=MeshConfig(
             data=jax.device_count()

@@ -246,3 +246,65 @@ def test_trainer_with_pp_mesh(rng, eight_devices):
     losses = [float(trainer.step(batch)["total_loss"]) for _ in range(4)]
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_pp_fsdp_composition_matches_single_device(rng, eight_devices):
+    """FSDP over ``data`` composed with GPipe over ``pipe`` on a
+    (2, 1, 4) mesh: stacked layer leaves carry BOTH axes (stage dim
+    claimed first — sharding_rules.py::fsdp_param_specs), and the step
+    still equals single-device math with per-device param bytes
+    actually dropping."""
+    from clip_finegrained_alignment_tpu.parallel.sharding_rules import (
+        fsdp_param_shardings, fsdp_param_specs, zero1_opt_shardings)
+    cfg = tiny_train_config(global_negatives=True, use_amp=False,
+                            loss_type="sparc", optimizer_type="adamspd",
+                            gradient_accumulation_steps=2, batch_size=8,
+                            fsdp=True,
+                            mesh=MeshConfig(data=2, model=1, pipe=4))
+    params = m.init_clip_params(jax.random.key(3), PP_CFG)
+    batch = make_batch(rng, 16, accum=2)
+
+    opt1 = make_optimizer(cfg, params,
+                          anchor_params=jax.tree.map(jnp.copy, params))
+    step1 = make_train_step(cfg, PP_CFG, opt1, mesh=None)
+    p1, _, m1 = step1(jax.tree.map(jnp.copy, params),
+                      opt1.init(jax.tree.map(jnp.copy, params)),
+                      dict(batch))
+
+    mesh = _pp_mesh(eight_devices)
+    specs = fsdp_param_specs(params, mesh)
+    # Stacked [L, d_in, d_out] layer leaf: stage dim first, data on the
+    # largest remaining dim.
+    assert tuple(specs["vision"]["layers"]["fc1"]["kernel"])[:1] \
+        == ("pipe",), specs["vision"]["layers"]["fc1"]["kernel"]
+    assert "data" in tuple(specs["vision"]["layers"]["fc1"]["kernel"])
+
+    psh = fsdp_param_shardings(params, mesh)
+    sp = jax.tree.map(jax.device_put, shard_params_pipeline(params, mesh),
+                      psh)
+    opt = make_optimizer(cfg, sp, anchor_params=jax.tree.map(jnp.copy, sp))
+    so = opt.init(sp)
+    osh = zero1_opt_shardings(so, mesh)
+    so = jax.tree.map(jax.device_put, so, osh)
+    step_f = make_train_step(cfg, PP_CFG, opt, mesh=mesh,
+                             opt_shardings=osh, param_shardings=psh)
+    p2, _, m2 = step_f(sp, so,
+                       pmesh.shard_batch(dict(batch), mesh,
+                                         accum_axis=True))
+
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+
+    def device0_bytes(tree):
+        total = 0
+        for leaf in jax.tree.leaves(tree):
+            if isinstance(leaf, jax.Array) and leaf.addressable_shards:
+                sh = leaf.addressable_shards[0]
+                total += int(np.prod(sh.data.shape)) * leaf.dtype.itemsize
+        return total
+
+    assert device0_bytes(p2) < 0.5 * device0_bytes(p1), \
+        (device0_bytes(p2), device0_bytes(p1))

@@ -113,6 +113,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GPipe microbatches per train microbatch "
                         "(0 = auto: 2x the stage count). Must divide "
                         "--batch-size")
+    p.add_argument("--sequence-parallel", type=int, default=1,
+                   help="context-parallel degree (reuses the 'model' mesh "
+                        "axis for the TOKEN dim of activations; params "
+                        "stay replicated over it — parallel/sequence.py). "
+                        "Long-context insurance for variants past "
+                        "ViT-L/14@336's 577 tokens; identical math. "
+                        "Requires --global-negatives; mutually exclusive "
+                        "with --model-parallel/--pipeline-parallel; "
+                        "composes with --zero1/--fsdp")
+    p.add_argument("--sp-ring", action="store_true",
+                   help="with --sequence-parallel: manual ring attention "
+                        "(single-hop ppermute'd KV rotation + online "
+                        "softmax, comm overlapped with compute) instead "
+                        "of the partitioner's KV all-gather")
     p.add_argument("--quant", default="none",
                    choices=["none", "switchback", "int8"],
                    help="dynamic-int8 MXU path for the encoder projection "
@@ -187,23 +201,37 @@ def main(argv=None) -> None:
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
         log_every=args.log_every,
         pipeline_microbatches=args.pipeline_microbatches,
+        sequence_parallel=args.sequence_parallel > 1,
+        sp_ring=args.sp_ring,
         mesh=MeshConfig(
             data=jax.device_count()
-            // (args.model_parallel * args.pipeline_parallel),
-            model=args.model_parallel, pipe=args.pipeline_parallel))
-    if args.model_parallel * args.pipeline_parallel > 1:
+            // (args.model_parallel * args.pipeline_parallel
+                * args.sequence_parallel),
+            model=max(args.model_parallel, args.sequence_parallel),
+            pipe=args.pipeline_parallel))
+    if args.sequence_parallel > 1 and (args.model_parallel > 1
+                                       or args.pipeline_parallel > 1):
+        raise SystemExit("--sequence-parallel cannot be combined with "
+                         "--model-parallel or --pipeline-parallel (the "
+                         "model axis is either the TP or the sequence "
+                         "axis; train/engine.py)")
+    if (args.model_parallel * args.pipeline_parallel
+            * args.sequence_parallel > 1):
         if jax.device_count() % (args.model_parallel
-                                 * args.pipeline_parallel) != 0:
+                                 * args.pipeline_parallel
+                                 * args.sequence_parallel) != 0:
             raise SystemExit(
                 f"--model-parallel {args.model_parallel} x "
-                f"--pipeline-parallel {args.pipeline_parallel} must "
+                f"--pipeline-parallel {args.pipeline_parallel} x "
+                f"--sequence-parallel {args.sequence_parallel} must "
                 f"divide the device count ({jax.device_count()})")
         if not args.global_negatives:
             raise SystemExit(
-                "--model-parallel/--pipeline-parallel > 1 require "
+                "--model-parallel/--pipeline-parallel/"
+                "--sequence-parallel > 1 require "
                 "--global-negatives: the DDP-parity shard_map path "
                 "assumes replicated params (train/engine.py)")
-        if args.unstack_layers:
+        if args.unstack_layers and args.sequence_parallel == 1:
             raise SystemExit(
                 "--model-parallel/--pipeline-parallel > 1 are "
                 "incompatible with --unstack-layers (the sharding rules "

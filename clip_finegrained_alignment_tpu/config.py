@@ -260,6 +260,17 @@ class TrainConfig:
                                           # (2x the stage count — bubble
                                           # fraction (K-1)/(M+K-1)). Identical
                                           # math to the unpipelined step.
+    sequence_parallel: bool = False       # context parallelism: the model
+                                          # mesh axis shards the TOKEN dim of
+                                          # activations instead of Megatron
+                                          # weight dims (params replicated
+                                          # over it) — parallel/sequence.py.
+                                          # Long-context insurance (identical
+                                          # math); mutually exclusive with TP.
+    sp_ring: bool = False                 # with sequence_parallel: manual
+                                          # ring attention (ppermute'd KV +
+                                          # online softmax) instead of the
+                                          # partitioner's KV all-gather.
     checkpoint_dir: str = "checkpoints"
     log_every: int = 10
 
@@ -349,6 +360,8 @@ class TrainConfig:
                 "Fused SPARC kernel": self.use_fused_sparc,
                 "Global negatives": self.global_negatives,
                 "Int8 quantized GEMMs": self.quant,
+                "Sequence parallel": (("ring" if self.sp_ring else "gspmd")
+                                      if self.sequence_parallel else False),
             },
         }
         for group, params in groups.items():

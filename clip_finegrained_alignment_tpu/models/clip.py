@@ -305,12 +305,29 @@ def _xla_attention_flat(q, k, v, bias, scale):
 
 
 def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False,
-              quant="none"):
-    """Multi-head self-attention with HF CLIP parameterization."""
+              quant="none", seq=None):
+    """Multi-head self-attention with HF CLIP parameterization.
+
+    ``seq`` (a ``parallel.sequence.SeqParallelSpec``) marks the token dim
+    as sharded over the ``model`` mesh axis; with ``seq.ring`` the scores
+    are computed by the manual ring-attention collective instead of the
+    partitioner's KV all-gather."""
     B, S, D = x.shape
     head_dim = D // num_heads
     scale = head_dim ** -0.5
     lin = _linear_fn(quant)
+
+    if seq is not None and seq.ring:
+        # Ring attention consumes/produces the bshd layout natively.
+        from ..parallel.sequence import ring_attention
+
+        def heads(y):
+            return y.reshape(B, S, num_heads, head_dim)
+        q = heads(lin(layer_p["q"], x, dtype))
+        k = heads(lin(layer_p["k"], x, dtype))
+        v = heads(lin(layer_p["v"], x, dtype))
+        out = ring_attention(q, k, v, bias, scale, seq.mesh)
+        return lin(layer_p["out"], out.reshape(B, S, D), dtype)
 
     if _attn_layout() == "bshd":
         def heads(y):
@@ -346,7 +363,7 @@ def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False,
 
 def encoder(params_stacked, x, bias, num_heads, eps, *, dtype,
             use_pallas=False, remat=False, unroll=1, quant="none",
-            pipeline=None):
+            pipeline=None, seq=None):
     """Pre-LN transformer encoder over stacked layer params via lax.scan.
 
     ``remat=True`` wraps the layer body in ``jax.checkpoint`` so backward
@@ -363,22 +380,34 @@ def encoder(params_stacked, x, bias, num_heads, eps, *, dtype,
     holds (and applies) its ``[L/K, ...]`` slice of the stacked params;
     this function body — scan/remat/unroll and all — becomes the per-stage
     chunk. Identical math (``tests/test_pipeline.py``).
+
+    ``seq`` (a ``parallel.sequence.SeqParallelSpec``) runs the stack
+    sequence-parallel: activations constrained to ``P(data, model)`` so
+    per-token math runs on S/sp tokens per chip and the partitioner (or
+    the ring collective, ``seq.ring``) handles attention's cross-token
+    reach. Identical math (``tests/test_sequence_parallel.py``).
     """
 
     lin = _linear_fn(quant)
+    if seq is not None:
+        from ..parallel.sequence import constrain_tokens
+        x = constrain_tokens(x, seq)
 
     def make_body(b):
         def body(h, layer_p):
             r = h
             h = layer_norm(layer_p["ln1"], h, eps)
             h = attention(layer_p, h, b, num_heads, dtype=dtype,
-                          use_pallas=use_pallas, quant=quant)
+                          use_pallas=use_pallas, quant=quant, seq=seq)
             h = r + h
             r = h
             h = layer_norm(layer_p["ln2"], h, eps)
             h = quick_gelu(lin(layer_p["fc1"], h, dtype))
             h = lin(layer_p["fc2"], h, dtype)
-            return r + h, None
+            h = r + h
+            if seq is not None:
+                h = constrain_tokens(h, seq)
+            return h, None
 
         if remat:
             # remat=True → recompute everything (min memory); remat="dots"
@@ -444,7 +473,7 @@ def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
 def vision_tower(params: Params, pixel_values: jax.Array, cfg: VisionConfig,
                  *, dtype=jnp.float32, use_pallas=False,
                  remat=False, unroll=1, quant="none",
-                 pipeline=None) -> TowerOutput:
+                 pipeline=None, seq=None) -> TowerOutput:
     """ViT image tower. ``pixel_values``: [B, H, W, 3] NHWC, normalized."""
     p = params
     x = patchify(pixel_values.astype(dtype), cfg.patch_size)
@@ -456,7 +485,10 @@ def vision_tower(params: Params, pixel_values: jax.Array, cfg: VisionConfig,
     x = layer_norm(p["pre_layernorm"], x, cfg.layer_norm_eps)
     x = encoder(p["layers"], x, None, cfg.num_heads, cfg.layer_norm_eps,
                 dtype=dtype, use_pallas=use_pallas, remat=remat,
-                unroll=unroll, quant=quant, pipeline=pipeline)
+                unroll=unroll, quant=quant, pipeline=pipeline, seq=seq)
+    if seq is not None:
+        from ..parallel.sequence import gather_tokens
+        x = gather_tokens(x, seq)
     pooled = layer_norm(p["post_layernorm"], x[:, 0], cfg.layer_norm_eps)
     return TowerOutput(last_hidden_state=x, pooled=pooled)
 
@@ -475,7 +507,7 @@ def text_tower(params: Params, input_ids: jax.Array, cfg: TextConfig,
                *, attention_mask: Optional[jax.Array] = None,
                dtype=jnp.float32, use_pallas=False,
                remat=False, unroll=1, quant="none",
-               pipeline=None) -> TowerOutput:
+               pipeline=None, seq=None) -> TowerOutput:
     """Text transformer tower. ``input_ids``: [B, T] int32.
 
     Pooling follows HF: hidden state at the **first EOS token** position.
@@ -491,7 +523,10 @@ def text_tower(params: Params, input_ids: jax.Array, cfg: TextConfig,
     bias = _text_attention_bias(input_ids, attention_mask, T)
     x = encoder(p["layers"], x, bias, cfg.num_heads, cfg.layer_norm_eps,
                 dtype=dtype, use_pallas=use_pallas, remat=remat,
-                unroll=unroll, quant=quant, pipeline=pipeline)
+                unroll=unroll, quant=quant, pipeline=pipeline, seq=seq)
+    if seq is not None:
+        from ..parallel.sequence import gather_tokens
+        x = gather_tokens(x, seq)
     x = layer_norm(p["final_layernorm"], x, cfg.layer_norm_eps)
     eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
                          axis=-1)
@@ -521,24 +556,25 @@ class CLIPOutput(NamedTuple):
 def encode_image(params: Params, pixel_values: jax.Array, cfg: CLIPConfig,
                  *, dtype=jnp.float32, use_pallas=False,
                  remat=False, unroll=1, quant="none",
-                 pipeline=None) -> jax.Array:
+                 pipeline=None, seq=None) -> jax.Array:
     """Projected image embedding (un-normalized), as HF ``get_image_features``
     / OpenAI ``model.encode_image`` (``count_finetuner.py:107``)."""
     out = vision_tower(params["vision"], pixel_values, cfg.vision,
                        dtype=dtype, use_pallas=use_pallas, remat=remat,
-                       unroll=unroll, quant=quant, pipeline=pipeline)
+                       unroll=unroll, quant=quant, pipeline=pipeline,
+                       seq=seq)
     return linear(params["visual_projection"], out.pooled, dtype)
 
 
 def encode_text(params: Params, input_ids: jax.Array, cfg: CLIPConfig,
                 *, attention_mask=None, dtype=jnp.float32,
                 use_pallas=False, remat=False, unroll=1,
-                quant="none", pipeline=None) -> jax.Array:
+                quant="none", pipeline=None, seq=None) -> jax.Array:
     """Projected text embedding (un-normalized)."""
     out = text_tower(params["text"], input_ids, cfg.text,
                      attention_mask=attention_mask, dtype=dtype,
                      use_pallas=use_pallas, remat=remat, unroll=unroll,
-                     quant=quant, pipeline=pipeline)
+                     quant=quant, pipeline=pipeline, seq=seq)
     return linear(params["text_projection"], out.pooled, dtype)
 
 
@@ -547,17 +583,18 @@ def clip_forward(params: Params, pixel_values: jax.Array,
                  attention_mask: Optional[jax.Array] = None,
                  dtype=jnp.float32, use_pallas=False,
                  remat=False, unroll=1, quant="none",
-                 pipeline=None) -> CLIPOutput:
+                 pipeline=None, seq=None) -> CLIPOutput:
     """Full dual-tower forward returning everything any reference loss needs
     in one pass (the reference re-encodes for some paths, e.g.
     ``count_finetuner.py:107-123``; here one forward serves all)."""
     v = vision_tower(params["vision"], pixel_values, cfg.vision,
                      dtype=dtype, use_pallas=use_pallas, remat=remat,
-                     unroll=unroll, quant=quant, pipeline=pipeline)
+                     unroll=unroll, quant=quant, pipeline=pipeline,
+                     seq=seq)
     t = text_tower(params["text"], input_ids, cfg.text,
                    attention_mask=attention_mask, dtype=dtype,
                    use_pallas=use_pallas, remat=remat, unroll=unroll,
-                   quant=quant, pipeline=pipeline)
+                   quant=quant, pipeline=pipeline, seq=seq)
     image_embeds = linear(params["visual_projection"], v.pooled, dtype)
     text_embeds = linear(params["text_projection"], t.pooled, dtype)
 

@@ -80,7 +80,8 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 # Data-axis sharding of params-shaped trees (shared by ZeRO-1 and FSDP)
 # ---------------------------------------------------------------------------
 
-def _data_axis_specs(tree: Any, mesh: Mesh) -> Any:
+def _data_axis_specs(tree: Any, mesh: Mesh,
+                     megatron_base: bool = True) -> Any:
     """PartitionSpec pytree sharding every leaf of a params-shaped tree
     over ``data``, on top of whatever TP/PP base layout applies.
 
@@ -88,9 +89,14 @@ def _data_axis_specs(tree: Any, mesh: Mesh) -> Any:
     (active only when ``model > 1``) and the pipeline stage dim (active
     only when ``pipe > 1``) leave unsharded; leaves with no such dim
     (scalars, small embeddings, the step counter) stay replicated.
+
+    ``megatron_base=False``: a ``model`` axis present in the mesh is NOT
+    the Megatron TP axis (it is the sequence axis,
+    ``TrainConfig.sequence_parallel``) — params-shaped leaves stay
+    replicated over it and only ``data`` (+ ``pipe``) shard.
     """
     dp = mesh.shape.get(DATA_AXIS, 1)
-    tp = mesh.shape.get(MODEL_AXIS, 1)
+    tp = mesh.shape.get(MODEL_AXIS, 1) if megatron_base else 1
     pp = mesh.shape.get(PIPE_AXIS, 1)
 
     def base_spec(path, shape):
@@ -125,7 +131,8 @@ def _data_axis_specs(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, tree)
 
 
-def zero1_opt_specs(opt_state: Any, mesh: Mesh) -> Any:
+def zero1_opt_specs(opt_state: Any, mesh: Mesh,
+                    megatron_base: bool = True) -> Any:
     """PartitionSpec pytree sharding optimizer-state leaves over ``data``.
 
     The reference replicates optimizer state on every rank (DDP keeps a
@@ -140,14 +147,15 @@ def zero1_opt_specs(opt_state: Any, mesh: Mesh) -> Any:
     partitioner also handles (pinned vs the replicated oracle in
     tests/test_train_engine.py).
     """
-    return _data_axis_specs(opt_state, mesh)
+    return _data_axis_specs(opt_state, mesh, megatron_base)
 
 
 # ---------------------------------------------------------------------------
 # FSDP / ZeRO-3: parameter sharding over the data axis
 # ---------------------------------------------------------------------------
 
-def fsdp_param_specs(params: Any, mesh: Mesh) -> Any:
+def fsdp_param_specs(params: Any, mesh: Mesh,
+                     megatron_base: bool = True) -> Any:
     """PartitionSpec pytree sharding *parameters* over ``data`` — the
     ZeRO-3/FSDP layout, one step past ZeRO-1.
 
@@ -167,12 +175,13 @@ def fsdp_param_specs(params: Any, mesh: Mesh) -> Any:
     stage dim. Identical math to the replicated layout — pinned vs the
     replicated oracle in tests/test_train_engine.py.
     """
-    return _data_axis_specs(params, mesh)
+    return _data_axis_specs(params, mesh, megatron_base)
 
 
-def fsdp_param_shardings(params: Any, mesh: Mesh) -> Any:
+def fsdp_param_shardings(params: Any, mesh: Mesh,
+                         megatron_base: bool = True) -> Any:
     return jax.tree.map(lambda spec: NamedSharding(mesh, spec),
-                        fsdp_param_specs(params, mesh))
+                        fsdp_param_specs(params, mesh, megatron_base))
 
 
 def shard_params_fsdp(params: Any, mesh: Mesh) -> Any:
@@ -181,10 +190,11 @@ def shard_params_fsdp(params: Any, mesh: Mesh) -> Any:
                         fsdp_param_shardings(params, mesh))
 
 
-def zero1_opt_shardings(opt_state: Any, mesh: Mesh) -> Any:
+def zero1_opt_shardings(opt_state: Any, mesh: Mesh,
+                        megatron_base: bool = True) -> Any:
     """NamedSharding pytree for jit in/out_shardings + device_put."""
     return jax.tree.map(lambda spec: NamedSharding(mesh, spec),
-                        zero1_opt_specs(opt_state, mesh))
+                        zero1_opt_specs(opt_state, mesh, megatron_base))
 
 
 def shard_opt_state(opt_state: Any, mesh: Mesh) -> Any:

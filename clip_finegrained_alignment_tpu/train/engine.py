@@ -56,7 +56,7 @@ Batch = Dict[str, jax.Array]
 
 def compute_loss(params, batch: Batch, cfg: TrainConfig,
                  model_cfg: CLIPConfig, *, dtype,
-                 pipeline=None) -> Tuple[jax.Array, Dict]:
+                 pipeline=None, seq=None) -> Tuple[jax.Array, Dict]:
     """Forward + objective for one microbatch. Returns (total_loss, loss_dict).
 
     Batch contract (all fixed-shape, jit-friendly):
@@ -81,7 +81,7 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
     out = m.clip_forward(params, pixel_values, input_ids, model_cfg,
                          dtype=dtype, use_pallas=use_pallas,
                          remat=cfg.remat, unroll=cfg.unroll_layers,
-                         quant=cfg.quant, pipeline=pipeline)
+                         quant=cfg.quant, pipeline=pipeline, seq=seq)
 
     if cfg.loss_type == "sparc":
         # Project full hidden sequences into the shared space
@@ -104,8 +104,8 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
         ek_cf = m.encode_text(params, cf.reshape(B * N, T), model_cfg,
                               dtype=dtype, use_pallas=use_pallas,
                               remat=cfg.remat, unroll=cfg.unroll_layers,
-                              quant=cfg.quant,
-                              pipeline=pipeline).reshape(B, N, -1)
+                              quant=cfg.quant, pipeline=pipeline,
+                              seq=seq).reshape(B, N, -1)
         losses = L.count_loss(
             out.logits_per_image, out.logits_per_text,
             out.image_embeds, out.text_embeds, ek_cf,
@@ -117,8 +117,8 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
             ek = m.encode_text(params, group.reshape(B * G, T), model_cfg,
                                dtype=dtype, use_pallas=use_pallas,
                                remat=cfg.remat, unroll=cfg.unroll_layers,
-                               quant=cfg.quant,
-                               pipeline=pipeline).reshape(B, G, -1)
+                               quant=cfg.quant, pipeline=pipeline,
+                               seq=seq).reshape(B, G, -1)
         else:
             ek = None
         losses = L.clip_count_loss(out.image_embeds, out.text_embeds, ek,
@@ -135,7 +135,7 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
 
 def _accumulated_grads(params, batch: Batch, cfg: TrainConfig,
                        model_cfg: CLIPConfig, dtype, vary_axis=None,
-                       pipeline=None):
+                       pipeline=None, seq=None):
     """Scan over the leading accumulation axis; returns (grads, loss_dict)
     averaged over microbatches (≡ reference's loss/accum scaling,
     finetuner.py:145). ``vary_axis``: when called inside shard_map, the mesh
@@ -144,7 +144,7 @@ def _accumulated_grads(params, batch: Batch, cfg: TrainConfig,
     device-varying values)."""
     grad_fn = jax.value_and_grad(
         lambda p, mb: compute_loss(p, mb, cfg, model_cfg, dtype=dtype,
-                                   pipeline=pipeline),
+                                   pipeline=pipeline, seq=seq),
         has_aux=True)
 
     accum = jax.tree.leaves(batch)[0].shape[0]
@@ -215,6 +215,33 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
             mesh=mesh,
             num_micro=default_num_micro(pp, cfg.pipeline_microbatches))
 
+    seq = None
+    if cfg.sequence_parallel and mesh is not None:
+        # Context parallelism (parallel/sequence.py): the ``model`` axis
+        # shards the token dim of activations; params stay replicated
+        # over it (the Trainer skips the Megatron layout). With no mesh
+        # the config degenerates to the ordinary single-device step (the
+        # oracle the SP tests pin against).
+        from ..parallel.sequence import SeqParallelSpec
+        if tp <= 1:
+            raise ValueError(
+                "sequence_parallel needs mesh.model > 1 (the model axis "
+                "is the sequence axis)")
+        if not cfg.global_negatives:
+            raise ValueError(
+                "sequence parallelism requires global_negatives=True: "
+                "the DDP-parity shard_map path assumes replicated "
+                "single-device math")
+        if pp > 1:
+            raise ValueError("sequence parallelism composed with pipeline "
+                             "parallelism is not supported")
+        if cfg.use_pallas_attention:
+            raise ValueError("sequence parallelism and the Pallas "
+                             "attention kernels are mutually exclusive "
+                             "(GSPMD cannot partition the custom call "
+                             "over the token dim; use sp_ring instead)")
+        seq = SeqParallelSpec(mesh=mesh, ring=cfg.sp_ring)
+
     if cfg.fsdp:
         if not cfg.global_negatives:
             raise ValueError(
@@ -230,7 +257,7 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
 
     def grads_and_metrics(params, batch):
         return _accumulated_grads(params, batch, cfg, model_cfg, dtype,
-                                  pipeline=pipeline)
+                                  pipeline=pipeline, seq=seq)
 
     if mesh is not None and not cfg.global_negatives:
         if tp > 1:
@@ -345,7 +372,7 @@ class Trainer:
         # them (anchor deepcopy, optimizer zeros) inherits the layout.
         if self.mesh is None:
             self.params = params
-        elif cfg.mesh.model > 1:
+        elif cfg.mesh.model > 1 and not cfg.sequence_parallel:
             from ..parallel.sharding_rules import (shard_params,
                                                    validate_tp_divisibility)
             validate_tp_divisibility(params, self.mesh)
@@ -368,11 +395,13 @@ class Trainer:
             # and optimizer zeros below inherit it, which IS the ZeRO-3
             # state picture.
             from ..parallel.sharding_rules import fsdp_param_shardings
-            self._param_shardings = fsdp_param_shardings(params, self.mesh)
+            self._param_shardings = fsdp_param_shardings(
+                params, self.mesh,
+                megatron_base=not cfg.sequence_parallel)
             self.params = jax.tree.map(jax.device_put, self.params,
                                        self._param_shardings)
         if cfg.unstack_layers:
-            if cfg.mesh.model > 1:
+            if cfg.mesh.model > 1 and not cfg.sequence_parallel:
                 raise ValueError("unstack_layers is not supported with "
                                  "tensor parallelism (mesh.model > 1)")
             # Perf layout (models/clip.py::unstack_layers): per-layer jit
@@ -394,8 +423,9 @@ class Trainer:
             # axis (upgrade over the reference's per-rank full Adam copy,
             # dist_finetuner.py:57; AdamSPD quadruples that state).
             from ..parallel.sharding_rules import zero1_opt_shardings
-            self._opt_shardings = zero1_opt_shardings(self.opt_state,
-                                                      self.mesh)
+            self._opt_shardings = zero1_opt_shardings(
+                self.opt_state, self.mesh,
+                megatron_base=not cfg.sequence_parallel)
             self.opt_state = jax.tree.map(jax.device_put, self.opt_state,
                                           self._opt_shardings)
         elif self._param_shardings is not None:
@@ -405,8 +435,9 @@ class Trainer:
             # so optax-internal scalars (e.g. ``count``, created on the
             # default device by init) land on the mesh.
             from ..parallel.sharding_rules import zero1_opt_shardings
-            self._opt_shardings = zero1_opt_shardings(self.opt_state,
-                                                      self.mesh)
+            self._opt_shardings = zero1_opt_shardings(
+                self.opt_state, self.mesh,
+                megatron_base=not cfg.sequence_parallel)
             self.opt_state = jax.tree.map(jax.device_put, self.opt_state,
                                           self._opt_shardings)
         self.train_step = make_train_step(

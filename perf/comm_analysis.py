@@ -106,7 +106,8 @@ def build(strategy: str, n: int = 8):
     model (batch 2/device, accum 2 — collective *structure* is batch- and
     width-independent; magnitudes are projected analytically)."""
     model_cfg = CLIPConfig.tiny_test()
-    dp, tp, pp = (n // 2, 2, 1) if "tp" in strategy else (n, 1, 1)
+    dp, tp, pp = (n // 2, 2, 1) if ("tp" in strategy or "sp" in strategy) \
+        else (n, 1, 1)
     if "pp" in strategy:
         # GPipe pipeline (parallel/pipeline.py): 4 stages x 1 layer on a
         # 4-layer tiny variant; collectives = the stage-hop ppermutes.
@@ -122,11 +123,12 @@ def build(strategy: str, n: int = 8):
         gradient_accumulation_steps=2, use_amp=False,
         global_negatives=(strategy != "dp_parity"),
         zero1="zero1" in strategy, fsdp="fsdp" in strategy,
+        sequence_parallel="sp" in strategy, sp_ring="ring" in strategy,
         mesh=MeshConfig(data=dp, model=tp, pipe=pp))
     mesh = pmesh.make_mesh(cfg.mesh, jax.devices()[:n])
     params = m.init_clip_params(jax.random.key(0), model_cfg)
     psh = None
-    if tp > 1:
+    if tp > 1 and not cfg.sequence_parallel:
         params = shard_params(params, mesh)
     if pp > 1:
         from clip_finegrained_alignment_tpu.parallel.pipeline import \
@@ -167,7 +169,7 @@ def build(strategy: str, n: int = 8):
 
 
 STRATEGIES = ("dp_parity", "dp_global", "dp_zero1", "dp_fsdp", "dp_tp",
-              "dp_tp_zero1", "dp_pp")
+              "dp_tp_zero1", "dp_pp", "dp_sp", "dp_sp_ring")
 
 
 def project(n: int = 8, b_local: int = 64):

@@ -98,7 +98,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Megatron-style tensor-parallel degree (the "
                         "'model' mesh axis; devices = data x model). "
                         "Requires --global-negatives; composes with "
-                        "--zero1. For models whose AdamSPD state "
+                        "--zero1 and --pipeline-parallel (3D "
+                        "DP x TP x PP). For models whose AdamSPD state "
                         "overflows one chip's HBM (ViT-L/14: 8.6 GB) — "
                         "see BASELINE.md 'ViT-L/14 scaling story'")
     p.add_argument("--pipeline-parallel", type=int, default=1,
@@ -108,7 +109,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "optimizer state scale 1/K per stage — "
                         "parallel/pipeline.py). Requires "
                         "--global-negatives and the stacked layer layout; "
-                        "must divide both towers' layer counts")
+                        "must divide both towers' layer counts; composes "
+                        "with --model-parallel (3D DP x TP x PP)")
     p.add_argument("--pipeline-microbatches", type=int, default=0,
                    help="GPipe microbatches per train microbatch "
                         "(0 = auto: 2x the stage count). Must divide "
@@ -236,9 +238,6 @@ def main(argv=None) -> None:
                 "--model-parallel/--pipeline-parallel > 1 are "
                 "incompatible with --unstack-layers (the sharding rules "
                 "address the stacked [L, ...] layout)")
-    if args.model_parallel > 1 and args.pipeline_parallel > 1:
-        raise SystemExit("--model-parallel and --pipeline-parallel cannot "
-                         "be combined (train/engine.py)")
     if cfg.batch_size % cfg.mesh.data != 0:
         raise SystemExit(
             f"--batch-size {cfg.batch_size} must be divisible by the "

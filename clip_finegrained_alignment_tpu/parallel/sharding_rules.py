@@ -77,6 +77,54 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# Composed base layouts (TP weight dims + pipeline stage dim)
+# ---------------------------------------------------------------------------
+
+def _base_spec(path, shape, tp: int, pp: int) -> P:
+    """The non-data layout of one params-shaped leaf: TP Megatron dims
+    (``tp > 1``) and/or the pipeline stage dim (``pp > 1``, stacked layer
+    leaves sharded on L — parallel/pipeline.py). Both at once is the
+    composed TP x PP layout, e.g. fc1 kernel [L, D, F] →
+    ``P('pipe', None, 'model')``."""
+    spec = list(_spec_for_path(path)) if tp > 1 else []
+    if pp > 1 and shape:
+        keys = tuple(getattr(k, "key", None) or str(k) for k in path)
+        if "layers" in keys and shape[0] % pp == 0 and shape[0] >= pp:
+            if not spec:
+                spec = [PIPE_AXIS]
+            elif spec[0] is None:
+                spec[0] = PIPE_AXIS
+    return P(*spec)
+
+
+def composed_param_specs(params: Any, mesh: Mesh,
+                         megatron_base: bool = True) -> Any:
+    """PartitionSpec pytree for the composed TP x PP base layout: Megatron
+    weight-dim sharding over ``model`` (when the mesh has one and it is
+    the TP axis) plus stage sharding of the stacked layer dim over
+    ``pipe``. With one of the axes at size 1 this degenerates to the
+    plain TP or plain pipeline layout."""
+    tp = mesh.shape.get(MODEL_AXIS, 1) if megatron_base else 1
+    pp = mesh.shape.get(PIPE_AXIS, 1)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _base_spec(path, getattr(leaf, "shape", None),
+                                      tp, pp), params)
+
+
+def composed_param_shardings(params: Any, mesh: Mesh,
+                             megatron_base: bool = True) -> Any:
+    return jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                        composed_param_specs(params, mesh, megatron_base))
+
+
+def shard_params_composed(params: Any, mesh: Mesh) -> Any:
+    """Lay a (stacked-layout) param tree onto the mesh with the composed
+    TP x PP layout."""
+    return jax.tree.map(jax.device_put, params,
+                        composed_param_shardings(params, mesh))
+
+
+# ---------------------------------------------------------------------------
 # Data-axis sharding of params-shaped trees (shared by ZeRO-1 and FSDP)
 # ---------------------------------------------------------------------------
 
@@ -100,18 +148,7 @@ def _data_axis_specs(tree: Any, mesh: Mesh,
     pp = mesh.shape.get(PIPE_AXIS, 1)
 
     def base_spec(path, shape):
-        """The non-data layout: TP Megatron dims (model > 1) and/or the
-        pipeline stage dim (pipe > 1, stacked layer leaves sharded on L —
-        parallel/pipeline.py)."""
-        spec = list(_spec_for_path(path)) if tp > 1 else []
-        if pp > 1 and shape:
-            keys = tuple(getattr(k, "key", None) or str(k) for k in path)
-            if "layers" in keys and shape[0] % pp == 0 and shape[0] >= pp:
-                if not spec:
-                    spec = [PIPE_AXIS]
-                elif spec[0] is None:
-                    spec[0] = PIPE_AXIS
-        return P(*spec)
+        return _base_spec(path, shape, tp, pp)
 
     def spec_for(path, leaf):
         shape = getattr(leaf, "shape", None)

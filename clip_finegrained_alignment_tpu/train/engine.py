@@ -203,10 +203,16 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
                 "pipeline parallelism (mesh.pipe > 1) requires "
                 "global_negatives=True: the DDP-parity shard_map path "
                 "assumes replicated params")
-        if tp > 1:
-            raise ValueError("pipeline parallelism composed with tensor "
-                             "parallelism (mesh.model > 1) is not "
-                             "supported")
+        if tp > 1 and cfg.sequence_parallel:
+            raise ValueError("sequence parallelism composed with pipeline "
+                             "parallelism is not supported")
+        # tp > 1 without sequence_parallel composes: the pipeline
+        # shard_map is manual only over ``pipe`` (parallel/pipeline.py),
+        # so the Megatron weight-dim shardings on the ``model`` axis stay
+        # in auto mode and GSPMD partitions the per-stage layer math
+        # exactly as it does unpipelined (the composed layout is
+        # sharding_rules.py::composed_param_specs; pinned vs the
+        # single-device oracle in tests/test_pipeline.py).
         if cfg.unstack_layers:
             raise ValueError("pipeline parallelism requires the stacked "
                              "layer layout (unstack_layers=False): stages "
@@ -374,9 +380,20 @@ class Trainer:
             self.params = params
         elif cfg.mesh.model > 1 and not cfg.sequence_parallel:
             from ..parallel.sharding_rules import (shard_params,
+                                                   shard_params_composed,
                                                    validate_tp_divisibility)
             validate_tp_divisibility(params, self.mesh)
-            self.params = shard_params(params, self.mesh)
+            if cfg.mesh.pipe > 1:
+                # Composed TP x PP: Megatron weight dims over ``model``
+                # AND the stacked layer dim over ``pipe``
+                # (sharding_rules.py::composed_param_specs).
+                from ..parallel.pipeline import validate_pipe_divisibility
+                validate_pipe_divisibility(self.model_cfg, cfg.mesh,
+                                           cfg.batch_size,
+                                           cfg.pipeline_microbatches)
+                self.params = shard_params_composed(params, self.mesh)
+            else:
+                self.params = shard_params(params, self.mesh)
         elif cfg.mesh.pipe > 1:
             from ..parallel.pipeline import (shard_params_pipeline,
                                              validate_pipe_divisibility)

@@ -108,7 +108,12 @@ def build(strategy: str, n: int = 8):
     model_cfg = CLIPConfig.tiny_test()
     dp, tp, pp = (n // 2, 2, 1) if ("tp" in strategy or "sp" in strategy) \
         else (n, 1, 1)
-    if "pp" in strategy:
+    if strategy == "dp_tp_pp":
+        # Full 3D: TP inside each GPipe stage on a (2, 2, 2) mesh (tiny
+        # 2-layer towers = 1 layer/stage); collectives = stage-hop
+        # ppermutes + the partitioner's TP all-reduces per stage.
+        dp, tp, pp = 2, 2, 2
+    elif "pp" in strategy:
         # GPipe pipeline (parallel/pipeline.py): 4 stages x 1 layer on a
         # 4-layer tiny variant; collectives = the stage-hop ppermutes.
         import dataclasses
@@ -128,9 +133,13 @@ def build(strategy: str, n: int = 8):
     mesh = pmesh.make_mesh(cfg.mesh, jax.devices()[:n])
     params = m.init_clip_params(jax.random.key(0), model_cfg)
     psh = None
-    if tp > 1 and not cfg.sequence_parallel:
+    if tp > 1 and not cfg.sequence_parallel and pp > 1:
+        from clip_finegrained_alignment_tpu.parallel.sharding_rules import \
+            shard_params_composed
+        params = shard_params_composed(params, mesh)
+    elif tp > 1 and not cfg.sequence_parallel:
         params = shard_params(params, mesh)
-    if pp > 1:
+    elif pp > 1:
         from clip_finegrained_alignment_tpu.parallel.pipeline import \
             shard_params_pipeline
         params = shard_params_pipeline(params, mesh)
@@ -169,7 +178,7 @@ def build(strategy: str, n: int = 8):
 
 
 STRATEGIES = ("dp_parity", "dp_global", "dp_zero1", "dp_fsdp", "dp_tp",
-              "dp_tp_zero1", "dp_pp", "dp_sp", "dp_sp_ring")
+              "dp_tp_zero1", "dp_pp", "dp_tp_pp", "dp_sp", "dp_sp_ring")
 
 
 def project(n: int = 8, b_local: int = 64):

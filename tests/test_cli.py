@@ -121,6 +121,21 @@ def test_train_model_parallel_with_zero1(workdir):
     assert meta["global_step"] == 2
 
 
+def test_train_3d_tp_pp(workdir):
+    """--model-parallel 2 --pipeline-parallel 2 through the public CLI on
+    the 8-device mesh: full 3D DP x TP x PP (composed layout,
+    sharding_rules.py::composed_param_specs) from the command line."""
+    from clip_finegrained_alignment_tpu.cli.train import main
+    main(train_args(workdir, 1, ["--global-negatives",
+                                 "--model-parallel", "2",
+                                 "--pipeline-parallel", "2",
+                                 "--experiment-name", "cli_3d"]))
+    best = workdir / "ckpts" / "cli_3d" / "best"
+    assert best.is_dir()
+    meta = json.loads((best / "meta.json").read_text())
+    assert meta["global_step"] == 2
+
+
 def test_model_parallel_flag_validation(workdir):
     from clip_finegrained_alignment_tpu.cli.train import main
     with pytest.raises(SystemExit, match="global-negatives"):

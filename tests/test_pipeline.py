@@ -308,3 +308,83 @@ def test_pp_fsdp_composition_matches_single_device(rng, eight_devices):
 
     assert device0_bytes(p2) < 0.5 * device0_bytes(p1), \
         (device0_bytes(p2), device0_bytes(p1))
+
+
+def test_composed_param_specs_tp_pp(eight_devices):
+    """Composed TP x PP layout: stacked layer leaves carry the pipe axis
+    on the layer dim AND the Megatron model axis on the weight dim."""
+    from clip_finegrained_alignment_tpu.parallel.sharding_rules import \
+        composed_param_specs
+    mesh = pmesh.make_mesh(MeshConfig(data=2, model=2, pipe=2),
+                           eight_devices)
+    params = m.init_clip_params(jax.random.key(0), CFG)
+    specs = composed_param_specs(params, mesh)
+    assert specs["vision"]["layers"]["fc1"]["kernel"] \
+        == P("pipe", None, "model")
+    assert specs["vision"]["layers"]["out"]["kernel"] \
+        == P("pipe", "model", None)
+    assert specs["text"]["layers"]["ln1"]["scale"] == P("pipe")
+    assert specs["text"]["token_embedding"] == P()
+    # megatron_base=False (the model axis is the sequence axis): only
+    # the stage dim shards.
+    specs_sp = composed_param_specs(params, mesh, megatron_base=False)
+    assert specs_sp["vision"]["layers"]["fc1"]["kernel"] == P("pipe")
+
+
+def test_tp_pp_composition_matches_single_device(rng, eight_devices):
+    """Full 3D parallelism: SPARC+AdamSPD train step on a
+    (data=2, model=2, pipe=2) mesh — Megatron TP inside each GPipe stage
+    (the pipeline shard_map is manual only over ``pipe``, so the
+    ``model``-axis weight shardings stay in GSPMD auto mode) — equals the
+    single-device oracle, with per-device param bytes dropping ~4x."""
+    from clip_finegrained_alignment_tpu.parallel.sharding_rules import \
+        shard_params_composed
+    cfg = tiny_train_config(global_negatives=True, use_amp=False,
+                            loss_type="sparc", optimizer_type="adamspd",
+                            inverse_temperature=0.07,
+                            gradient_accumulation_steps=2, batch_size=8,
+                            mesh=MeshConfig(data=2, model=2, pipe=2))
+    params = m.init_clip_params(jax.random.key(5), CFG)
+    batch = make_batch(rng, 16, accum=2)
+
+    opt1 = make_optimizer(cfg, params,
+                          anchor_params=jax.tree.map(jnp.copy, params))
+    step1 = make_train_step(cfg, CFG, opt1, mesh=None)
+    p1, _, m1 = step1(jax.tree.map(jnp.copy, params),
+                      opt1.init(jax.tree.map(jnp.copy, params)),
+                      dict(batch))
+
+    mesh = pmesh.make_mesh(cfg.mesh, eight_devices)
+    sp = shard_params_composed(params, mesh)
+    opt = make_optimizer(cfg, sp, anchor_params=jax.tree.map(jnp.copy, sp))
+    so = opt.init(sp)
+    step3d = make_train_step(cfg, CFG, opt, mesh=mesh)
+    p2, _, m2 = step3d(sp, so,
+                       pmesh.shard_batch(dict(batch), mesh,
+                                         accum_axis=True))
+
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+    # Updated layer params keep both mesh axes.
+    upd_spec = tuple(p2["vision"]["layers"]["fc1"]["kernel"].sharding.spec)
+    flat_axes = [ax for s in upd_spec if s
+                 for ax in (s if isinstance(s, tuple) else (s,))]
+    assert "pipe" in flat_axes and "model" in flat_axes, upd_spec
+
+    def device0_bytes(tree):
+        total = 0
+        for leaf in jax.tree.leaves(tree):
+            if isinstance(leaf, jax.Array) and leaf.addressable_shards:
+                sh = leaf.addressable_shards[0]
+                total += int(np.prod(sh.data.shape)) * leaf.dtype.itemsize
+        return total
+
+    layer_bytes = lambda p: device0_bytes(
+        {"v": p["vision"]["layers"], "t": p["text"]["layers"]})
+    assert layer_bytes(p2) < 0.3 * layer_bytes(p1), \
+        (layer_bytes(p2), layer_bytes(p1))

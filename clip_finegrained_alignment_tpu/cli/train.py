@@ -26,8 +26,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     # Reference flag surface (finetuner.py:277-288 + count_finetuner
     # :239-247), unified.
-    p.add_argument("--annotations", required=True,
+    p.add_argument("--annotations", default=None,
                    help="synthetic_annotations.json path")
+    p.add_argument("--packed", default=None, metavar="DIR",
+                   help="packed dataset directory (cli.pack_dataset) "
+                        "instead of --annotations: decode-free ingest — "
+                        "one memcpy per batch instead of per-sample image "
+                        "decode (data/packed.py; the reference re-decodes "
+                        "every epoch, finetuner.py:334)")
     p.add_argument("--model", default="ViT-B/32",
                    help="ViT-B/32 | ViT-B/16 | ViT-L/14 | tiny")
     p.add_argument("--loss-type", default="sparc",
@@ -247,25 +253,39 @@ def main(argv=None) -> None:
 
     # ---------------- data ----------------
     mode = "counterfactual" if args.loss_type == "count" else "standard"
-    ds_cls = CounterfactualCaptionDataset if mode == "counterfactual" \
-        else SyntheticCaptionDataset
-    dataset = ds_cls(args.annotations)
-    tokenizer = load_tokenizer(args.bpe_path)
-    from ..data.tokenizer import HashTokenizer
-    if isinstance(tokenizer, HashTokenizer) and \
-            tokenizer.vocab_size != model_cfg.text.vocab_size:
-        tokenizer = HashTokenizer(
-            vocab_size=model_cfg.text.vocab_size,
-            bos_token_id=model_cfg.text.bos_token_id,
-            eos_token_id=model_cfg.text.eos_token_id,
-            pad_token_id=model_cfg.text.pad_token_id)
-    pipeline = CountingDataPipeline(
-        dataset, cfg.effective_batch_size, mode=mode,
-        image_size=model_cfg.vision.image_size,
-        context_length=model_cfg.text.max_position_embeddings,
-        tokenizer=tokenizer, seed=cfg.seed)
-    print(f"dataset: {len(dataset)} samples, "
-          f"{pipeline.steps_per_epoch()} steps/epoch")
+    if bool(args.packed) == bool(args.annotations):
+        raise SystemExit("pass exactly one of --annotations / --packed")
+    if args.packed:
+        # Decode-free ingest: host preprocessing already ran once at pack
+        # time (cli.pack_dataset); the per-batch host cost is one memcpy.
+        from ..data.packed import PackedDataPipeline
+        pipeline = PackedDataPipeline(
+            args.packed, cfg.effective_batch_size, seed=cfg.seed,
+            expect_mode=mode,
+            expect_image_size=model_cfg.vision.image_size,
+            expect_context_length=model_cfg.text.max_position_embeddings)
+        print(f"packed dataset: {pipeline._num_samples()} samples, "
+              f"{pipeline.steps_per_epoch()} steps/epoch")
+    else:
+        ds_cls = CounterfactualCaptionDataset if mode == "counterfactual" \
+            else SyntheticCaptionDataset
+        dataset = ds_cls(args.annotations)
+        tokenizer = load_tokenizer(args.bpe_path)
+        from ..data.tokenizer import HashTokenizer
+        if isinstance(tokenizer, HashTokenizer) and \
+                tokenizer.vocab_size != model_cfg.text.vocab_size:
+            tokenizer = HashTokenizer(
+                vocab_size=model_cfg.text.vocab_size,
+                bos_token_id=model_cfg.text.bos_token_id,
+                eos_token_id=model_cfg.text.eos_token_id,
+                pad_token_id=model_cfg.text.pad_token_id)
+        pipeline = CountingDataPipeline(
+            dataset, cfg.effective_batch_size, mode=mode,
+            image_size=model_cfg.vision.image_size,
+            context_length=model_cfg.text.max_position_embeddings,
+            tokenizer=tokenizer, seed=cfg.seed)
+        print(f"dataset: {len(dataset)} samples, "
+              f"{pipeline.steps_per_epoch()} steps/epoch")
 
     # ---------------- params ----------------
     params, ref_meta = None, {}

@@ -1,6 +1,8 @@
 from . import numbers
 from .datasets import (CocoCaptionsDataset, CounterfactualCaptionDataset,
-                       CountingDataPipeline, SyntheticCaptionDataset)
+                       CountingDataPipeline, EpochBatchPipeline,
+                       SyntheticCaptionDataset)
+from .packed import PackedDataPipeline, pack_dataset
 from .preprocess import (CLIP_MEAN, CLIP_STD, normalize_batch,
                          pad_to_square, preprocess_batch, preprocess_host,
                          resize_center_crop)
@@ -13,7 +15,8 @@ from .tokenizer import (CLIPTokenizer, HashTokenizer, load_hf_tokenizer,
 
 __all__ = [
     "numbers", "CocoCaptionsDataset", "CounterfactualCaptionDataset",
-    "CountingDataPipeline", "SyntheticCaptionDataset", "CLIP_MEAN",
+    "CountingDataPipeline", "EpochBatchPipeline", "PackedDataPipeline",
+    "pack_dataset", "SyntheticCaptionDataset", "CLIP_MEAN",
     "CLIP_STD", "normalize_batch", "pad_to_square", "preprocess_batch",
     "preprocess_host", "resize_center_crop", "SIZE_CATEGORIES",
     "CocoSource", "ProceduralSource", "SyntheticCountGenerator",

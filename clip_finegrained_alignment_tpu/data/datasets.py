@@ -99,7 +99,84 @@ class CounterfactualCaptionDataset(SyntheticCaptionDataset):
 # Batch pipeline
 # ---------------------------------------------------------------------------
 
-class CountingDataPipeline:
+class EpochBatchPipeline:
+    """Shared epoch machinery for fixed-shape batch sources: deterministic
+    cross-host shuffling, contiguous per-host shards (``parallel/mesh.py``),
+    and a background producer thread double-buffering batch assembly against
+    the device step. Subclasses provide ``_num_samples()`` and
+    ``_make_batch(idx)``; the trainer protocol is ``batches(epoch)``
+    (``train/engine.py::Trainer.train``)."""
+
+    batch_size: int
+    seed: int
+    shuffle: bool
+    process_index: Optional[int]
+    process_count: Optional[int]
+    prefetch: int
+
+    def _num_samples(self) -> int:
+        raise NotImplementedError
+
+    def _make_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def steps_per_epoch(self) -> int:
+        from ..parallel.mesh import process_shard_bounds
+        s, e = process_shard_bounds(self._num_samples(), self.process_index,
+                                    self.process_count)
+        return (e - s) // self.batch_size
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        from ..parallel.mesh import (epoch_permutation,
+                                     process_shard_bounds)
+        n = self._num_samples()
+        order = epoch_permutation(n, epoch, self.seed) if self.shuffle \
+            else np.arange(n)
+        s, e = process_shard_bounds(n, self.process_index,
+                                    self.process_count)
+        idx = order[np.arange(s, e) % n]  # wraparound pad, sampler-style
+        return idx
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield fixed-shape batches, assembled ahead of consumption by a
+        background thread (double-buffering host IO against device step)."""
+        idx = self._epoch_indices(epoch)
+        nb = len(idx) // self.batch_size
+        if nb == 0:
+            return iter(())
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
+        stop = object()
+        failure: list = []
+
+        def producer():
+            try:
+                for b in range(nb):
+                    sl = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    q.put(self._make_batch(sl))
+            except BaseException as e:  # surface in the consumer, don't
+                failure.append(e)       # silently truncate the epoch
+            finally:
+                q.put(stop)
+
+        threading.Thread(target=producer, daemon=True).start()
+
+        def gen():
+            while True:
+                item = q.get()
+                if item is stop:
+                    if failure:
+                        raise failure[0]
+                    return
+                yield item
+
+        return gen()
+
+    def __call__(self, epoch: int):
+        """Trainer protocol: ``batches(epoch)`` (train/engine.py)."""
+        return self.epoch(epoch)
+
+
+class CountingDataPipeline(EpochBatchPipeline):
     """Epoch-sharded, shuffled, fixed-shape batch source.
 
     ``mode``:
@@ -170,22 +247,8 @@ class CountingDataPipeline:
             self._cf_input_ids = np.stack(cf_ids)        # [N, 9, T]
             self._cf_counts = np.asarray(cf_counts, np.int32)
 
-    def steps_per_epoch(self) -> int:
-        from ..parallel.mesh import process_shard_bounds
-        s, e = process_shard_bounds(len(self.ds), self.process_index,
-                                    self.process_count)
-        return (e - s) // self.batch_size
-
-    def _epoch_indices(self, epoch: int) -> np.ndarray:
-        from ..parallel.mesh import (epoch_permutation,
-                                     process_shard_bounds)
-        n = len(self.ds)
-        order = epoch_permutation(n, epoch, self.seed) if self.shuffle \
-            else np.arange(n)
-        s, e = process_shard_bounds(n, self.process_index,
-                                    self.process_count)
-        idx = order[np.arange(s, e) % n]  # wraparound pad, sampler-style
-        return idx
+    def _num_samples(self) -> int:
+        return len(self.ds)
 
     def _load_pixels(self, sample: Sample) -> np.ndarray:
         img = load_image(sample.image_path)
@@ -216,44 +279,6 @@ class CountingDataPipeline:
             batch["cf_input_ids"] = self._cf_input_ids[idx]
             batch["cf_counts"] = self._cf_counts[idx]
         return batch
-
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield fixed-shape batches, assembled ahead of consumption by a
-        background thread (double-buffering host IO against device step)."""
-        idx = self._epoch_indices(epoch)
-        nb = len(idx) // self.batch_size
-        if nb == 0:
-            return iter(())
-        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
-        stop = object()
-        failure: list = []
-
-        def producer():
-            try:
-                for b in range(nb):
-                    sl = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                    q.put(self._make_batch(sl))
-            except BaseException as e:  # surface in the consumer, don't
-                failure.append(e)       # silently truncate the epoch
-            finally:
-                q.put(stop)
-
-        threading.Thread(target=producer, daemon=True).start()
-
-        def gen():
-            while True:
-                item = q.get()
-                if item is stop:
-                    if failure:
-                        raise failure[0]
-                    return
-                yield item
-
-        return gen()
-
-    def __call__(self, epoch: int):
-        """Trainer protocol: ``batches(epoch)`` (train/engine.py)."""
-        return self.epoch(epoch)
 
 
 # ---------------------------------------------------------------------------

@@ -228,6 +228,98 @@ def test_end_to_end_tiny_training_from_pipeline(tiny_dataset_dir, rng):
     assert np.isfinite(result["best_loss"])
 
 
+# ---------------------------------------------------------------------------
+# packed datasets (data/packed.py)
+# ---------------------------------------------------------------------------
+
+def test_packed_pipeline_matches_live_pipeline(tiny_dataset_dir, tmp_path):
+    """Packed batches must be byte-identical to the live loader's for the
+    same (seed, epoch): the pack stores the output of the same per-sample
+    preprocessing, and the epoch shuffle/shard machinery is shared."""
+    from clip_finegrained_alignment_tpu.data.packed import (
+        PackedDataPipeline, pack_dataset)
+
+    ann = os.path.join(tiny_dataset_dir, "synthetic_annotations.json")
+    tok = HashTokenizer()
+    meta = pack_dataset(ann, str(tmp_path / "pack"), image_size=64,
+                        tokenizer=tok, chunk_size=5)
+    assert meta["num_samples"] == 12
+
+    ds = SyntheticCaptionDataset(ann)
+    live = CountingDataPipeline(ds, batch_size=4, image_size=64,
+                                tokenizer=tok, seed=0)
+    packed = PackedDataPipeline(str(tmp_path / "pack"), batch_size=4,
+                                seed=0, expect_mode="standard",
+                                expect_image_size=64)
+    for epoch in (0, 1):
+        for bl, bp in zip(live.epoch(epoch), packed.epoch(epoch)):
+            assert set(bl) == set(bp)
+            for k in bl:
+                np.testing.assert_array_equal(bl[k], np.asarray(bp[k]))
+
+
+def test_packed_counterfactual_and_validation(tiny_dataset_dir, tmp_path):
+    from clip_finegrained_alignment_tpu.data.packed import (
+        PackedDataPipeline, pack_dataset)
+
+    ann = os.path.join(tiny_dataset_dir, "synthetic_annotations.json")
+    pack_dataset(ann, str(tmp_path / "cf"), mode="counterfactual",
+                 image_size=64, tokenizer=HashTokenizer())
+    pipe = PackedDataPipeline(str(tmp_path / "cf"), batch_size=4,
+                              expect_mode="counterfactual")
+    b = next(iter(pipe.epoch(0)))
+    assert b["cf_input_ids"].shape == (4, 9, 77)
+    for i in range(4):
+        assert b["count"][i] not in b["cf_counts"][i]
+
+    # meta mismatches fail loudly instead of feeding wrong pixels/tokens
+    with pytest.raises(ValueError, match="image_size"):
+        PackedDataPipeline(str(tmp_path / "cf"), batch_size=4,
+                           expect_image_size=224)
+    with pytest.raises(ValueError, match="mode"):
+        PackedDataPipeline(str(tmp_path / "cf"), batch_size=4,
+                           expect_mode="standard")
+    with pytest.raises(FileNotFoundError):
+        PackedDataPipeline(str(tmp_path / "nope"), batch_size=4)
+
+
+def test_packed_host_sharding(tiny_dataset_dir, tmp_path):
+    """Two hosts cover the shuffled pack without overlap (same guarantee
+    as the live pipeline — the shard machinery is shared)."""
+    from clip_finegrained_alignment_tpu.data.packed import (
+        PackedDataPipeline, pack_dataset)
+
+    ann = os.path.join(tiny_dataset_dir, "synthetic_annotations.json")
+    pack_dataset(ann, str(tmp_path / "p"), image_size=64,
+                 tokenizer=HashTokenizer())
+    seen = []
+    for pi in range(2):
+        pipe = PackedDataPipeline(str(tmp_path / "p"), batch_size=3,
+                                  process_index=pi, process_count=2)
+        for b in pipe.epoch(0):
+            seen.extend(b["input_ids"][:, 1].tolist())
+    assert len(seen) == 12
+
+
+def test_packed_train_cli_end_to_end(tiny_dataset_dir, tmp_path):
+    """cli.pack_dataset → cli.train --packed runs a tiny training job."""
+    import os as _os
+
+    from clip_finegrained_alignment_tpu.cli.pack_dataset import \
+        main as pack_main
+    from clip_finegrained_alignment_tpu.cli.train import main as train_main
+
+    _os.environ.setdefault("CFA_ALLOW_HASH_TOKENIZER", "1")
+    ann = os.path.join(tiny_dataset_dir, "synthetic_annotations.json")
+    pack_main(["--annotations", ann, "--output", str(tmp_path / "pk"),
+               "--model", "tiny", "--loss-type", "clip"])
+    train_main(["--packed", str(tmp_path / "pk"), "--model", "tiny",
+                "--loss-type", "clip", "--batch-size", "8",
+                "--grad-accum", "1", "--epochs", "1", "--no-amp",
+                "--checkpoint-dir", str(tmp_path / "ck"),
+                "--experiment-name", "pk"])
+
+
 def test_visualize_dataset(tmp_path):
     """Bbox-overlay previews (gen_synthetic_data.py:347-378 parity): boxes
     + labels + packed integers in integer mode; caption-only render for

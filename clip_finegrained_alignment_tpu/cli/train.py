@@ -34,6 +34,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "one memcpy per batch instead of per-sample image "
                         "decode (data/packed.py; the reference re-decodes "
                         "every epoch, finetuner.py:334)")
+    p.add_argument("--device-data", action="store_true",
+                   help="with --packed: place the whole uint8 pixel array "
+                        "in device HBM once and gather batches by index "
+                        "ON DEVICE — per-step host→device traffic drops "
+                        "from S*S*3 to 4 bytes/sample (for "
+                        "ingest-bandwidth-bound hosts; needs the pack to "
+                        "fit HBM alongside the model, e.g. 50k 224px "
+                        "samples = 7.5 GB)")
     p.add_argument("--model", default="ViT-B/32",
                    help="ViT-B/32 | ViT-B/16 | ViT-L/14 | tiny")
     p.add_argument("--loss-type", default="sparc",
@@ -255,6 +263,8 @@ def main(argv=None) -> None:
     mode = "counterfactual" if args.loss_type == "count" else "standard"
     if bool(args.packed) == bool(args.annotations):
         raise SystemExit("pass exactly one of --annotations / --packed")
+    if args.device_data and not args.packed:
+        raise SystemExit("--device-data requires --packed")
     if args.packed:
         # Decode-free ingest: host preprocessing already ran once at pack
         # time (cli.pack_dataset); the per-batch host cost is one memcpy.
@@ -263,9 +273,12 @@ def main(argv=None) -> None:
             args.packed, cfg.effective_batch_size, seed=cfg.seed,
             expect_mode=mode,
             expect_image_size=model_cfg.vision.image_size,
-            expect_context_length=model_cfg.text.max_position_embeddings)
+            expect_context_length=model_cfg.text.max_position_embeddings,
+            index_only=args.device_data)
         print(f"packed dataset: {pipeline._num_samples()} samples, "
-              f"{pipeline.steps_per_epoch()} steps/epoch")
+              f"{pipeline.steps_per_epoch()} steps/epoch"
+              + (f", {pipeline.pixel_bank_bytes() / 1e9:.2f} GB "
+                 "device-resident pixel bank" if args.device_data else ""))
     else:
         ds_cls = CounterfactualCaptionDataset if mode == "counterfactual" \
             else SyntheticCaptionDataset
@@ -305,7 +318,9 @@ def main(argv=None) -> None:
     ckpt_dir = os.path.join(args.checkpoint_dir, args.experiment_name)
     manager = CheckpointManager(ckpt_dir, save_every=cfg.save_every)
     trainer = Trainer(cfg, params=params, mesh=mesh,
-                      checkpoint_manager=manager)
+                      checkpoint_manager=manager,
+                      pixel_bank=pipeline.pixel_bank()
+                      if args.device_data else None)
 
     # Resume source: bare --resume = <ckpt-dir>/<exp>/best; --resume
     # <path> = an explicit orbax step dir (the reference's resume-by-path,
@@ -420,6 +435,10 @@ def main(argv=None) -> None:
     eval_batch_data = None
     if args.eval_every_epoch and mode == "counterfactual":
         eval_batch_data = next(iter(pipeline.epoch(0)))
+        if args.device_data:
+            # The batch-eval path runs outside the jitted train step, so
+            # it needs real pixels, not bank indices.
+            eval_batch_data = pipeline.materialize(eval_batch_data)
         if start_epoch == 0:
             png = os.path.join(ckpt_dir, "confusion_pretrain.png")
             acc, _, _ = evaluate_batch(trainer.params, model_cfg,

@@ -127,7 +127,8 @@ class PackedDataPipeline(EpochBatchPipeline):
                  prefetch: int = 2,
                  expect_mode: Optional[str] = None,
                  expect_image_size: Optional[int] = None,
-                 expect_context_length: Optional[int] = None):
+                 expect_context_length: Optional[int] = None,
+                 index_only: bool = False):
         meta_path = os.path.join(packed_dir, META_NAME)
         if not os.path.exists(meta_path):
             raise FileNotFoundError(
@@ -173,15 +174,43 @@ class PackedDataPipeline(EpochBatchPipeline):
             self._cf_counts = np.load(
                 os.path.join(packed_dir, "cf_counts.npy"))
 
+        # HBM-resident mode (``index_only=True``): batches carry
+        # ``pixel_index`` instead of pixels; the engine gathers from the
+        # on-device bank (``train/engine.py::make_train_step pixel_bank``).
+        # Per-step host→device traffic drops from S·S·3 to 4 bytes/sample —
+        # the fix for ingest-bandwidth-bound hosts/links.
+        self.index_only = index_only
+
     def _num_samples(self) -> int:
         return int(self.meta["num_samples"])
 
+    def pixel_bank(self) -> np.ndarray:
+        """The full uint8 [N, S, S, 3] pixel array (memory-mapped), for
+        one-time placement in device HBM (engine ``pixel_bank=``)."""
+        return self._pixels
+
+    def pixel_bank_bytes(self) -> int:
+        return int(self._pixels.size)
+
+    def materialize(self, batch: Dict[str, np.ndarray]
+                    ) -> Dict[str, np.ndarray]:
+        """Index batch → pixel batch (for host-side eval paths that need
+        real pixels, e.g. the per-epoch counting eval)."""
+        if "pixel_index" not in batch:
+            return batch
+        out = {k: v for k, v in batch.items() if k != "pixel_index"}
+        out["pixel_values"] = self._pixels[batch["pixel_index"]]
+        return out
+
     def _make_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         batch = {
-            "pixel_values": self._pixels[idx],  # fancy index → RAM copy
             "input_ids": self._input_ids[idx],
             "count": self._counts[idx],
         }
+        if self.index_only:
+            batch["pixel_index"] = idx.astype(np.int32)
+        else:
+            batch["pixel_values"] = self._pixels[idx]  # fancy index → copy
         if self.mode == "counterfactual":
             batch["cf_input_ids"] = self._cf_input_ids[idx]
             batch["cf_counts"] = self._cf_counts[idx]

@@ -56,7 +56,8 @@ Batch = Dict[str, jax.Array]
 
 def compute_loss(params, batch: Batch, cfg: TrainConfig,
                  model_cfg: CLIPConfig, *, dtype,
-                 pipeline=None, seq=None) -> Tuple[jax.Array, Dict]:
+                 pipeline=None, seq=None,
+                 pixel_bank=None) -> Tuple[jax.Array, Dict]:
     """Forward + objective for one microbatch. Returns (total_loss, loss_dict).
 
     Batch contract (all fixed-shape, jit-friendly):
@@ -66,8 +67,15 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
       optional group_input_ids [B, G, T] (grouped count captions for
       ``loss_type='clip_count'``; absent → degenerate group_size==1, the only
       shape the reference trainer ever feeds, losses.py:120-124).
+    With a ``pixel_bank`` (the HBM-resident dataset cache,
+    ``data/packed.py``), ``pixel_values`` is replaced by
+    ``pixel_index [B] i32`` and the batch's pixels are gathered from the
+    bank ON DEVICE — the host ships 4 bytes/sample instead of S·S·3.
     """
-    pixel_values = batch["pixel_values"]
+    if pixel_bank is not None:
+        pixel_values = pixel_bank[batch["pixel_index"]]
+    else:
+        pixel_values = batch["pixel_values"]
     if pixel_values.dtype == jnp.uint8:
         # Fused on-device rescale+normalize (north-star input pipeline):
         # loaders ship compact uint8 over PCIe; the arithmetic runs on the
@@ -135,7 +143,7 @@ def compute_loss(params, batch: Batch, cfg: TrainConfig,
 
 def _accumulated_grads(params, batch: Batch, cfg: TrainConfig,
                        model_cfg: CLIPConfig, dtype, vary_axis=None,
-                       pipeline=None, seq=None):
+                       pipeline=None, seq=None, pixel_bank=None):
     """Scan over the leading accumulation axis; returns (grads, loss_dict)
     averaged over microbatches (≡ reference's loss/accum scaling,
     finetuner.py:145). ``vary_axis``: when called inside shard_map, the mesh
@@ -144,7 +152,8 @@ def _accumulated_grads(params, batch: Batch, cfg: TrainConfig,
     device-varying values)."""
     grad_fn = jax.value_and_grad(
         lambda p, mb: compute_loss(p, mb, cfg, model_cfg, dtype=dtype,
-                                   pipeline=pipeline, seq=seq),
+                                   pipeline=pipeline, seq=seq,
+                                   pixel_bank=pixel_bank),
         has_aux=True)
 
     accum = jax.tree.leaves(batch)[0].shape[0]
@@ -179,7 +188,8 @@ def _accumulated_grads(params, batch: Batch, cfg: TrainConfig,
 def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
                     optimizer: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
-                    opt_shardings=None, param_shardings=None) -> Callable:
+                    opt_shardings=None, param_shardings=None,
+                    pixel_bank=None) -> Callable:
     """Build the jitted ``train_step(params, opt_state, batch)``.
 
     ``batch`` leaves are [accum, B, ...] where B is the **global** batch; on a
@@ -190,8 +200,22 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
     layout across steps (the FSDP layout,
     ``sharding_rules.py::fsdp_param_shardings``); None = replicated
     (or caller-placed for TP/PP).
+
+    ``pixel_bank``: optional uint8 ``[N, S, S, 3]`` HBM-resident dataset
+    cache (``data/packed.py``). When set, batches carry
+    ``pixel_index [accum, B] i32`` instead of ``pixel_values`` and the
+    step gathers its pixels from the bank on device — per-step host →
+    device traffic drops from S·S·3 to 4 bytes per sample (the fix for
+    ingest-bandwidth-bound hosts; BASELINE.md packed-ingest rehearsal).
+    The bank is an ordinary (non-donated) operand of the jitted step,
+    replicated over the mesh; it is NOT closed over, so it is never baked
+    into the executable as a constant.
     """
     dtype = compute_dtype(cfg)
+    use_bank = pixel_bank is not None
+    if use_bank:
+        bank_arr = pixel_bank if isinstance(pixel_bank, jax.Array) \
+            else jnp.asarray(np.ascontiguousarray(pixel_bank))
 
     tp = mesh.shape.get(pmesh.MODEL_AXIS, 1) if mesh is not None else 1
     pp = mesh.shape.get(pmesh.PIPE_AXIS, 1) if mesh is not None else 1
@@ -261,9 +285,10 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
             raise ValueError("fsdp requires the stacked layer layout "
                              "(unstack_layers=False)")
 
-    def grads_and_metrics(params, batch):
+    def grads_and_metrics(params, batch, bank=None):
         return _accumulated_grads(params, batch, cfg, model_cfg, dtype,
-                                  pipeline=pipeline, seq=seq)
+                                  pipeline=pipeline, seq=seq,
+                                  pixel_bank=bank)
 
     if mesh is not None and not cfg.global_negatives:
         if tp > 1:
@@ -276,7 +301,7 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
         # negatives :161-176).
         batch_spec = P(None, pmesh.DATA_AXIS)
 
-        def sharded_grads(params, batch):
+        def sharded_grads(params, batch, bank=None):
             # Mark the replicated params device-VARYING before
             # differentiating: each device then owns a true replica (the
             # DDP picture) and AD yields per-device *local* grads, making
@@ -291,18 +316,30 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
                 lambda p: jax.lax.pcast(p, pmesh.DATA_AXIS, to='varying'), params)
             grads, losses = _accumulated_grads(params, batch, cfg,
                                                model_cfg, dtype,
-                                               vary_axis=pmesh.DATA_AXIS)
+                                               vary_axis=pmesh.DATA_AXIS,
+                                               pixel_bank=bank)
             grads = jax.lax.pmean(grads, pmesh.DATA_AXIS)
             losses = jax.lax.pmean(losses, pmesh.DATA_AXIS)
             return grads, losses
 
-        grads_and_metrics = shard_map(
-            sharded_grads, mesh=mesh,
-            in_specs=(P(), batch_spec),
-            out_specs=(P(), P()))
+        if use_bank:
+            # The bank stays replicated (in_spec P()); per-shard batches
+            # carry GLOBAL indices, each device gathers its own rows.
+            grads_and_metrics = shard_map(
+                sharded_grads, mesh=mesh,
+                in_specs=(P(), batch_spec, P()),
+                out_specs=(P(), P()))
+        else:
+            _sg = shard_map(
+                lambda p, b: sharded_grads(p, b), mesh=mesh,
+                in_specs=(P(), batch_spec),
+                out_specs=(P(), P()))
 
-    def train_step(params, opt_state, batch):
-        grads, losses = grads_and_metrics(params, batch)
+            def grads_and_metrics(params, batch, bank=None):
+                return _sg(params, batch)
+
+    def train_step(params, opt_state, batch, bank=None):
+        grads, losses = grads_and_metrics(params, batch, bank)
         gnorm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -310,8 +347,20 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
         metrics["grad_norm"] = gnorm
         return params, opt_state, metrics
 
+    def _finish(jitted, bank_on_mesh=None):
+        """Bind the (device-put) bank as a fixed trailing operand so every
+        existing call site keeps the (params, opt_state, batch) shape."""
+        if not use_bank:
+            return jitted
+        bank_dev = bank_arr if bank_on_mesh is None \
+            else jax.device_put(bank_arr, bank_on_mesh)
+        return lambda params, opt_state, batch: jitted(
+            params, opt_state, batch, bank_dev)
+
     if mesh is not None:
         bsh = pmesh.batch_sharding(mesh, accum_axis=True)
+        repl = pmesh.replicated(mesh)
+        bank_sh = repl if use_bank else None
         if tp > 1 or pp > 1:
             # TP/PP: params/opt_state keep whatever layout the caller
             # placed them with (parallel/sharding_rules.py Megatron specs,
@@ -322,25 +371,26 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
             # silently re-replicate it. (Steady-state layouts across steps
             # are checked in tests: the partitioner propagates the input
             # placements to the updated params/opt-state outputs.)
-            return jax.jit(train_step,
-                           in_shardings=(param_shardings, opt_shardings,
-                                         bsh),
-                           out_shardings=(param_shardings, opt_shardings,
-                                          None)
-                           if (opt_shardings is not None
-                               or param_shardings is not None) else None,
-                           donate_argnums=(0, 1))
-        repl = pmesh.replicated(mesh)
+            return _finish(jax.jit(
+                train_step,
+                in_shardings=(param_shardings, opt_shardings, bsh)
+                + ((bank_sh,) if use_bank else ()),
+                out_shardings=(param_shardings, opt_shardings, None)
+                if (opt_shardings is not None
+                    or param_shardings is not None) else None,
+                donate_argnums=(0, 1)), bank_on_mesh=bank_sh)
         # FSDP passes BOTH pytrees (the opt layout is derived from the
         # actual state leaves in Trainer, since optax states inherit the
         # fsdp param placement at init); ZeRO-1 passes opt_shardings only.
         psh = param_shardings if param_shardings is not None else repl
         osh = opt_shardings if opt_shardings is not None else repl
-        return jax.jit(train_step,
-                       in_shardings=(psh, osh, bsh),
-                       out_shardings=(psh, osh, repl),
-                       donate_argnums=(0, 1))
-    return jax.jit(train_step, donate_argnums=(0, 1))
+        return _finish(jax.jit(
+            train_step,
+            in_shardings=(psh, osh, bsh)
+            + ((bank_sh,) if use_bank else ()),
+            out_shardings=(psh, osh, repl),
+            donate_argnums=(0, 1)), bank_on_mesh=bank_sh)
+    return _finish(jax.jit(train_step, donate_argnums=(0, 1)))
 
 
 def _map_param_trees(fn, tree):
@@ -365,7 +415,7 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig, params=None,
                  mesh: Optional[Mesh] = None,
-                 checkpoint_manager=None):
+                 checkpoint_manager=None, pixel_bank=None):
         self.cfg = cfg
         self.model_cfg = cfg.model_config()
         self.mesh = mesh if mesh is not None else pmesh.make_mesh(cfg.mesh) \
@@ -460,7 +510,8 @@ class Trainer:
         self.train_step = make_train_step(
             cfg, self.model_cfg, self.optimizer, self.mesh,
             opt_shardings=self._opt_shardings,
-            param_shardings=self._param_shardings)
+            param_shardings=self._param_shardings,
+            pixel_bank=pixel_bank)
         self.global_step = 0
         self.best_loss = float("inf")
         self.preempt_requested = False

@@ -301,6 +301,88 @@ def test_packed_host_sharding(tiny_dataset_dir, tmp_path):
     assert len(seen) == 12
 
 
+def test_device_resident_bank_matches_host_pixels(tiny_dataset_dir,
+                                                  tmp_path):
+    """index_only + pixel_bank: training from the HBM-resident bank must
+    reproduce the host-pixel run bit-exactly (the gather + on-device
+    normalize is the same math; only the transport changes)."""
+    from clip_finegrained_alignment_tpu.config import TrainConfig
+    from clip_finegrained_alignment_tpu.data.packed import (
+        PackedDataPipeline, pack_dataset)
+    from clip_finegrained_alignment_tpu.train.engine import Trainer
+
+    ann = os.path.join(tiny_dataset_dir, "synthetic_annotations.json")
+    tok = HashTokenizer(vocab_size=256)
+    pack_dataset(ann, str(tmp_path / "dev"), image_size=32,
+                 context_length=16, tokenizer=tok)
+
+    cfg = TrainConfig(clip_model="tiny", batch_size=4,
+                      gradient_accumulation_steps=2, lr=1e-3,
+                      loss_type="clip", use_amp=False, log_every=1000)
+    runs = {}
+    for name, index_only in (("host", False), ("bank", True)):
+        pipe = PackedDataPipeline(str(tmp_path / "dev"),
+                                  cfg.effective_batch_size, seed=1,
+                                  index_only=index_only)
+        trainer = Trainer(cfg, pixel_bank=pipe.pixel_bank()
+                          if index_only else None)
+        runs[name] = trainer.train(pipe, num_epochs=2, log_fn=None)
+    assert runs["host"]["global_step"] == runs["bank"]["global_step"] == 2
+    assert runs["host"]["best_loss"] == runs["bank"]["best_loss"]
+    h = [e["avg_loss"] for e in runs["host"]["history"]]
+    b = [e["avg_loss"] for e in runs["bank"]["history"]]
+    np.testing.assert_array_equal(h, b)
+
+
+def test_device_resident_bank_parity_mesh(tiny_dataset_dir, tmp_path,
+                                          eight_devices):
+    """The bank composes with the DDP-parity shard_map mode: replicated
+    bank, per-shard GLOBAL indices — same math as the host-pixel mesh
+    run."""
+    from clip_finegrained_alignment_tpu.config import (MeshConfig,
+                                                       TrainConfig)
+    from clip_finegrained_alignment_tpu.data.packed import (
+        PackedDataPipeline, pack_dataset)
+    from clip_finegrained_alignment_tpu.train.engine import Trainer
+
+    ann = os.path.join(tiny_dataset_dir, "synthetic_annotations.json")
+    pack_dataset(ann, str(tmp_path / "mesh"), image_size=32,
+                 context_length=16, tokenizer=HashTokenizer(vocab_size=256))
+    cfg = TrainConfig(clip_model="tiny", batch_size=8,
+                      gradient_accumulation_steps=1, lr=1e-3,
+                      loss_type="clip", use_amp=False, log_every=1000,
+                      mesh=MeshConfig(data=4, model=1))
+    losses = {}
+    for name, index_only in (("host", False), ("bank", True)):
+        pipe = PackedDataPipeline(str(tmp_path / "mesh"),
+                                  cfg.effective_batch_size, seed=2,
+                                  index_only=index_only)
+        trainer = Trainer(cfg, pixel_bank=pipe.pixel_bank()
+                          if index_only else None)
+        losses[name] = trainer.train(pipe, num_epochs=1,
+                                     log_fn=None)["best_loss"]
+    np.testing.assert_allclose(losses["bank"], losses["host"], rtol=1e-6)
+
+
+def test_packed_materialize_roundtrip(tiny_dataset_dir, tmp_path):
+    from clip_finegrained_alignment_tpu.data.packed import (
+        PackedDataPipeline, pack_dataset)
+
+    ann = os.path.join(tiny_dataset_dir, "synthetic_annotations.json")
+    pack_dataset(ann, str(tmp_path / "m"), image_size=64,
+                 tokenizer=HashTokenizer())
+    pix = PackedDataPipeline(str(tmp_path / "m"), batch_size=4, seed=0)
+    idx = PackedDataPipeline(str(tmp_path / "m"), batch_size=4, seed=0,
+                             index_only=True)
+    b_pix = next(iter(pix.epoch(0)))
+    b_idx = next(iter(idx.epoch(0)))
+    assert "pixel_index" in b_idx and "pixel_values" not in b_idx
+    mat = idx.materialize(b_idx)
+    assert "pixel_index" not in mat
+    for k in b_pix:
+        np.testing.assert_array_equal(b_pix[k], mat[k])
+
+
 def test_packed_train_cli_end_to_end(tiny_dataset_dir, tmp_path):
     """cli.pack_dataset → cli.train --packed runs a tiny training job."""
     import os as _os
@@ -318,6 +400,12 @@ def test_packed_train_cli_end_to_end(tiny_dataset_dir, tmp_path):
                 "--grad-accum", "1", "--epochs", "1", "--no-amp",
                 "--checkpoint-dir", str(tmp_path / "ck"),
                 "--experiment-name", "pk"])
+    # HBM-resident bank mode through the CLI
+    train_main(["--packed", str(tmp_path / "pk"), "--device-data",
+                "--model", "tiny", "--loss-type", "clip",
+                "--batch-size", "8", "--grad-accum", "1", "--epochs", "1",
+                "--no-amp", "--checkpoint-dir", str(tmp_path / "ck2"),
+                "--experiment-name", "pk_dev"])
 
 
 def test_visualize_dataset(tmp_path):

@@ -558,6 +558,28 @@ class Trainer:
             # data-sharded placement the jitted step expects.
             opt_state = jax.tree.map(jax.device_put, opt_state,
                                      self._opt_shardings)
+        if self.mesh is not None:
+            # TP/PP (and replicated-mesh) layouts have no explicit
+            # sharding pytrees — the jitted step relies on the arrays'
+            # own placements. Restored leaves come back COMMITTED to
+            # wherever orbax put them (optax scalars like ``count`` land
+            # committed on device 0, where eager ``init`` created their
+            # uncommitted ``like``), which then conflicts with the
+            # mesh-placed params inside jit. Re-place every leaf onto the
+            # live runtime placement: mesh layouts are kept, anything
+            # single-device goes mesh-replicated.
+            def _reland(x, cur):
+                sh = getattr(cur, "sharding", None)
+                if sh is None or len(sh.device_set) \
+                        < int(self.mesh.devices.size):
+                    sh = pmesh.replicated(self.mesh)
+                return jax.device_put(x, sh)
+
+            if self._param_shardings is None:
+                params = jax.tree.map(_reland, params, self.params)
+            if self._opt_shardings is None:
+                opt_state = jax.tree.map(_reland, opt_state,
+                                         self.opt_state)
         self.params, self.opt_state = params, opt_state
 
     def step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:

@@ -576,6 +576,94 @@ def test_preempt_saves_and_resume_is_step_exact(rng, tmp_path):
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("layout", ["zero1", "fsdp", "tp"])
+def test_preempt_resume_preserves_sharded_state(rng, tmp_path,
+                                                eight_devices, layout):
+    """Step-exact preempt/resume under the SHARDED state layouts: a
+    preempt checkpoint written from a ZeRO-1 / FSDP / TP run must restore
+    bit-exactly AND land back on the sharded runtime placement (the
+    replicated-layout guarantee of
+    ``test_preempt_saves_and_resume_is_step_exact``, extended to the
+    layouts where naive restore could silently re-replicate 4x AdamSPD
+    state — the failure mode the reference's manual recovery invites,
+    dist_finetuner.py:313-347)."""
+    from clip_finegrained_alignment_tpu.train.checkpoint import \
+        CheckpointManager
+
+    mesh_cfg = MeshConfig(data=4, model=2) if layout == "tp" \
+        else MeshConfig(data=8, model=1)
+    kw = dict(zero1=(layout == "zero1"), fsdp=(layout == "fsdp"),
+              global_negatives=True, optimizer_type="adamspd",
+              gradient_accumulation_steps=1, batch_size=16, mesh=mesh_cfg)
+    cfg = tiny_train_config(**kw)
+    batches = [make_batch(rng, 16) for _ in range(4)]
+    init = m.init_clip_params(jax.random.key(11), CFG)
+
+    def mk(ck_mgr=None):
+        mesh = pmesh.make_mesh(mesh_cfg, eight_devices)
+        return Trainer(cfg, params=jax.tree.map(jnp.copy, init), mesh=mesh,
+                       checkpoint_manager=ck_mgr)
+
+    # Uninterrupted 4-step run = the oracle trajectory.
+    t_full = mk()
+    for b in batches:
+        t_full.step(b)
+
+    # Interrupted run: preempt lands during step 3.
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_every=1)
+    t_pre = mk(mgr)
+
+    def gen(epoch):
+        for i, b in enumerate(batches):
+            if i == 2:
+                t_pre.request_preempt()
+            yield b
+
+    result = t_pre.train(gen, num_epochs=1, log_fn=None)
+    assert result["preempted"] is True and result["global_step"] == 3
+
+    # Restore into a FRESH trainer (fresh mesh arrays, garbage init) and
+    # replay only the remaining batch.
+    t_res = mk(mgr)
+    ck_params, ck_opt = t_res.to_checkpoint_format()
+    state, meta = mgr.restore("preempt", like={"params": ck_params,
+                                               "opt_state": ck_opt})
+    t_res.from_checkpoint_format(state["params"], state["opt_state"])
+    t_res.global_step = meta["global_step"]
+    t_res.step(batches[3])
+
+    for a, b in zip(jax.tree.leaves(t_full.params),
+                    jax.tree.leaves(t_res.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    # The restored runtime state must be back on the sharded placement,
+    # not silently re-replicated.
+    def device0_bytes(tree):
+        total = 0
+        for leaf in jax.tree.leaves(tree):
+            if isinstance(leaf, jax.Array) and leaf.addressable_shards:
+                sh = leaf.addressable_shards[0]
+                total += int(np.prod(sh.data.shape)) * leaf.dtype.itemsize
+        return total
+
+    if layout == "zero1":
+        assert device0_bytes(t_res.opt_state) \
+            < 0.3 * device0_bytes(t_res.params) * 4
+        spec = jax.tree.leaves(
+            t_res.opt_state, is_leaf=lambda x: isinstance(x, jax.Array))
+        assert any("data" in jax.tree.leaves(tuple(x.sharding.spec))
+                   for x in spec if isinstance(x, jax.Array))
+    elif layout == "fsdp":
+        spec = t_res.params["vision"]["layers"]["fc1"]["kernel"] \
+            .sharding.spec
+        assert "data" in jax.tree.leaves(tuple(spec)), spec
+    else:  # tp: Megatron weight-dim sharding over `model` survives
+        spec = t_res.params["vision"]["layers"]["fc1"]["kernel"] \
+            .sharding.spec
+        assert "model" in jax.tree.leaves(tuple(spec)), spec
+
+
 def test_preemption_handler_wires_sigterm():
     import signal
 

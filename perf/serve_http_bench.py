@@ -56,14 +56,17 @@ def main():
     from http.client import HTTPConnection
 
     rng = np.random.default_rng(0)
-    img_payload = json.dumps(
-        {"pixels": rng.integers(0, 256, size=(1, S, S, 3),
-                                dtype=np.int64).tolist()})
+    pixels = rng.integers(0, 256, size=(1, S, S, 3), dtype=np.uint8)
+    img_payload = json.dumps({"pixels": pixels.astype(int).tolist()})
     txt_payload = json.dumps({"texts": ["a photo of three cats"]})
+    raw_payload = pixels.tobytes()  # the binary fast path
 
     results = {}
-    for name, path, payload in (("text", "/v1/embed/text", txt_payload),
-                                ("image", "/v1/embed/image", img_payload)):
+    for name, path, payload, ctype in (
+            ("text", "/v1/embed/text", txt_payload, "application/json"),
+            ("image", "/v1/embed/image", img_payload, "application/json"),
+            ("image_raw", "/v1/embed/image_raw", raw_payload,
+             "application/octet-stream")):
         lats = []
         lock = threading.Lock()
 
@@ -73,7 +76,7 @@ def main():
             for _ in range(per_client):
                 t0 = time.perf_counter()
                 conn.request("POST", path, payload,
-                             {"Content-Type": "application/json"})
+                             {"Content-Type": ctype})
                 resp = conn.getresponse()
                 body = resp.read()
                 assert resp.status == 200, body[:200]

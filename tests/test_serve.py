@@ -114,6 +114,38 @@ def test_embed_image_b64_applies_processor_geometry(served):
     np.testing.assert_allclose(got, expect, rtol=0, atol=1e-5)
 
 
+def test_embed_image_raw_matches_json_endpoint(served):
+    """The binary fast path (/v1/embed/image_raw): raw uint8 bytes in,
+    raw float32 out with X-Embed-Shape — same math as the JSON route."""
+    clip, port, params, cfg, _ = served
+    S = cfg.vision.image_size
+    rng = np.random.default_rng(2)
+    pix = rng.integers(0, 256, size=(3, S, S, 3)).astype(np.uint8)
+
+    conn = HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", "/v1/embed/image_raw", pix.tobytes(),
+                 {"Content-Type": "application/octet-stream"})
+    resp = conn.getresponse()
+    raw = resp.read()
+    shape = tuple(int(x) for x in
+                  resp.getheader("X-Embed-Shape").split(","))
+    conn.close()
+    assert resp.status == 200
+    got = np.frombuffer(raw, np.float32).reshape(shape)
+    assert shape[0] == 3
+    direct = CLIPInference(params, cfg, batch_bucket=8).embed_images(pix)
+    np.testing.assert_allclose(got, direct, rtol=0, atol=1e-5)
+
+    # malformed body (not a multiple of S*S*3) → 400, not a hang
+    conn = HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", "/v1/embed/image_raw", b"abc",
+                 {"Content-Type": "application/octet-stream"})
+    resp = conn.getresponse()
+    body = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 400 and "error" in body
+
+
 def test_classify_probs(served):
     clip, port, params, cfg, _ = served
     S = cfg.vision.image_size

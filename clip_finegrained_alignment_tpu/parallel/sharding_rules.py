@@ -103,7 +103,13 @@ def composed_param_specs(params: Any, mesh: Mesh,
     weight-dim sharding over ``model`` (when the mesh has one and it is
     the TP axis) plus stage sharding of the stacked layer dim over
     ``pipe``. With one of the axes at size 1 this degenerates to the
-    plain TP or plain pipeline layout."""
+    plain TP or plain pipeline layout.
+
+    ``megatron_base=False`` (the SP+PP layout: params replicated over
+    ``model`` because the axis shards tokens) exists only for symmetry
+    with ``_data_axis_specs`` — the engine rejects SP composed with PP
+    upstream (``train/engine.py::make_train_step``), so no runtime path
+    reaches it."""
     tp = mesh.shape.get(MODEL_AXIS, 1) if megatron_base else 1
     pp = mesh.shape.get(PIPE_AXIS, 1)
     return jax.tree_util.tree_map_with_path(

@@ -630,17 +630,26 @@ class Trainer:
         history = []
         for epoch in range(start_epoch, num_epochs):
             t0 = time.perf_counter()
-            total, count = 0.0, 0
+            # The epoch loss total stays ON DEVICE: fetching the loss
+            # every step (`float(...)`) costs one full host round-trip
+            # per step, which serializes the device behind the host/
+            # tunnel latency — measured 177 pairs/s vs the 1012 device
+            # rate through the remote tunnel (BASELINE.md packed-ingest
+            # rehearsal). Steps enqueue back-to-back; the host syncs
+            # only at `log_every` boundaries, preemption, and epoch end.
+            total, count = None, 0
             for batch in batches(epoch):
                 metrics = self.step(batch)
-                total += float(metrics["total_loss"])
+                loss = metrics["total_loss"]
+                total = loss if total is None else total + loss
                 count += 1
                 if log_fn and count % max(1, self.cfg.log_every) == 0:
                     log_fn(f"epoch {epoch} step {self.global_step} "
                            f"loss {float(metrics['total_loss']):.4f} "
                            f"gnorm {float(metrics['grad_norm']):.3f}")
                 if self.preempt_requested:
-                    self._save_preempt(epoch, total / max(count, 1))
+                    avg = float(total) / max(count, 1)
+                    self._save_preempt(epoch, avg)
                     if log_fn:
                         log_fn(f"preempted at epoch {epoch} step "
                                f"{self.global_step}: emergency "
@@ -649,7 +658,7 @@ class Trainer:
                             "best_loss": self.best_loss,
                             "global_step": self.global_step,
                             "preempted": True}
-            avg = total / max(count, 1)
+            avg = float(total) / max(count, 1) if count else 0.0
             dt = time.perf_counter() - t0
             pairs = count * self.cfg.effective_batch_size
             history.append({"epoch": epoch, "avg_loss": avg,

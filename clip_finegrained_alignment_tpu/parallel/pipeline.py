@@ -35,6 +35,28 @@ Design (TPU-first):
   reorders fp32 accumulation) — pinned in ``tests/test_pipeline.py``
   against single-device oracles, and in ``__graft_entry__.py``'s
   dp2xpp4 dry-run.
+
+Activation memory (measured from XLA's buffer assignment —
+``perf/pp_activation_report.py``, pinned in
+``tests/test_pipeline_memory.py``): per-stage temp allocation for the pp4
+train step is **2.3x below** the unpipelined step at the same batch (each
+stage stores residuals for its own L/K layers only), per-layer remat
+reaches inside the stages for another **3.9x** (``jax.checkpoint`` wraps
+the layer body inside ``stage_fn``), and at fixed global batch raising the
+microbatch count M does **not** raise temp (the all-M in-flight storage
+totals ~activations(B) regardless of the split; measured, it shrinks).
+The linear term is in B at fixed microbatch size — GPipe keeps every
+microbatch's stage inputs resident between the forward and reverse
+wavefronts. A 1F1B schedule would NOT remove that term here: 1F1B's
+<=K-in-flight bound requires the loss to decompose over microbatches so
+each microbatch's backward can run early, and every loss in this framework
+is contrastive over the FULL batch (global-negatives InfoNCE/SPARC couple
+all B samples — ``objectives/losses.py``; reference
+``finetune/losses.py:14-36,215-252``), so d(loss)/d(embedding) exists only
+after all M microbatches' embeddings are materialized. Under that
+constraint, AD-of-the-wavefront + per-layer checkpoint (store layer
+inputs, recompute the rest backward) is already the memory-optimal
+schedule; the numbers above quantify it.
 """
 
 from __future__ import annotations

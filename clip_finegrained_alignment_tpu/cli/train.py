@@ -97,6 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="contrastive loss over the global batch "
                         "(all-gather over ICI) instead of DDP-parity "
                         "local negatives")
+    p.add_argument("--grad-cache", action="store_true",
+                   help="GradCache: ONE contrastive loss over the full "
+                        "batch-size x grad-accum effective batch at "
+                        "one-chunk activation memory (embed -> loss on "
+                        "the cache -> chunked re-forward VJP; "
+                        "train/gradcache.py). clip/sparc losses only")
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state (AdamSPD mu/nu/anchors) "
                         "over the data axis, ZeRO-1 style — ~1/n_devices "
@@ -213,7 +219,7 @@ def main(argv=None) -> None:
         unstack_layers=args.unstack_layers, quant=args.quant,
         remat={"0": False, "1": True, "dots": "dots"}[args.remat],
         global_negatives=args.global_negatives, zero1=args.zero1,
-        fsdp=args.fsdp,
+        fsdp=args.fsdp, grad_cache=args.grad_cache,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
         log_every=args.log_every,
         pipeline_microbatches=args.pipeline_microbatches,

@@ -238,6 +238,16 @@ class TrainConfig:
                                           # data axis for the contrastive loss
                                           # (upgrade over reference local-only
                                           # negatives, SURVEY.md §5)
+    grad_cache: bool = False              # GradCache (train/gradcache.py):
+                                          # ONE contrastive loss over the
+                                          # full batch_size x accum effective
+                                          # batch at one-chunk activation
+                                          # memory (embed -> loss-on-cache ->
+                                          # chunked re-forward VJP). Changes
+                                          # the objective (bigger negative
+                                          # pool — the upgrade), not the
+                                          # math of any one loss. clip/sparc
+                                          # only.
     zero1: bool = False                   # shard optimizer state (mu/nu/
                                           # anchors) over the data axis,
                                           # ZeRO-1 style: per-chip AdamSPD
@@ -359,6 +369,7 @@ class TrainConfig:
                 "Pallas attention": self.use_pallas_attention,
                 "Fused SPARC kernel": self.use_fused_sparc,
                 "Global negatives": self.global_negatives,
+                "GradCache (full-pool negatives)": self.grad_cache,
                 "Int8 quantized GEMMs": self.quant,
                 "Sequence parallel": (("ring" if self.sp_ring else "gspmd")
                                       if self.sequence_parallel else False),

@@ -285,10 +285,22 @@ def make_train_step(cfg: TrainConfig, model_cfg: CLIPConfig,
             raise ValueError("fsdp requires the stacked layer layout "
                              "(unstack_layers=False)")
 
-    def grads_and_metrics(params, batch, bank=None):
-        return _accumulated_grads(params, batch, cfg, model_cfg, dtype,
-                                  pipeline=pipeline, seq=seq,
-                                  pixel_bank=bank)
+    if cfg.grad_cache:
+        # GradCache (train/gradcache.py): one loss over the FULL
+        # batch x accum effective batch at one-chunk activation memory.
+        # Replaces the accumulation scan's mean-of-chunk-losses with the
+        # full-pool objective; rejects parity/PP/SP compositions.
+        from .gradcache import gradcache_grads, validate_gradcache
+        validate_gradcache(cfg, mesh)
+
+        def grads_and_metrics(params, batch, bank=None):
+            return gradcache_grads(params, batch, cfg, model_cfg, dtype,
+                                   pixel_bank=bank)
+    else:
+        def grads_and_metrics(params, batch, bank=None):
+            return _accumulated_grads(params, batch, cfg, model_cfg, dtype,
+                                      pipeline=pipeline, seq=seq,
+                                      pixel_bank=bank)
 
     if mesh is not None and not cfg.global_negatives:
         if tp > 1:

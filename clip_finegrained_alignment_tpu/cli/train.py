@@ -513,6 +513,14 @@ def main(argv=None) -> None:
     steady = epoch_history[1:] or epoch_history
     pairs = sum(h["seconds"] * h["pairs_per_sec"] for h in steady)
     secs = sum(h["seconds"] for h in steady)
+    try:  # TPU backends report allocator stats; CPU returns None.
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        stats = None
+    if stats and "peak_bytes_in_use" in stats:
+        print(f"device peak HBM: "
+              f"{stats['peak_bytes_in_use'] / 2**30:.2f} GiB "
+              f"(in use {stats['bytes_in_use'] / 2**30:.2f} GiB)")
     print(f"done: best_loss={trainer.best_loss:.4f} "
           f"steps={trainer.global_step} "
           f"throughput={pairs / secs if secs else 0.0:.1f} pairs/s/chip"

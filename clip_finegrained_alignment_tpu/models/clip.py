@@ -266,6 +266,29 @@ def _attn_layout() -> str:
     return os.environ.get("CFA_ATTN_LAYOUT", "bshd")
 
 
+# Fused QKV projection (CFA_FUSED_QKV=1, read at trace time; default off).
+# Concatenates the three [D, D] projection kernels into one [D, 3D] GEMM
+# at trace time — params/checkpoints/TP sharding stay untouched, XLA sees
+# a concat (one extra HBM pass over 3 layer-kernels per step) feeding a
+# single M x 3D matmul instead of three M x D dispatches. Round 1
+# measured the variant SLOWER in the stacked/flat-batch regime (605 vs
+# 676 pairs/s, BASELINE.md); this re-test exists because the production
+# regime changed underneath it (unstacked layers + bshd layout +
+# microbatched accum) — see BASELINE.md round 5 for the verdict.
+def _fused_qkv() -> bool:
+    return os.environ.get("CFA_FUSED_QKV", "0") == "1"
+
+
+# Pallas attention grid tuning (CFA_PALLAS_HEAD_GROUP, trace-time).
+# 0 = the kernel's VMEM-budget auto choice (ops/attention.py::_prepare);
+# an explicit value sets heads-per-grid-cell directly, probing whether
+# the auto group (sized for the long-S bwd VMEM wall) is right at CLIP's
+# short sequences (S=197/77) where many small cells vs few wide ones is
+# a live trade.
+def _pallas_head_group() -> int:
+    return int(os.environ.get("CFA_PALLAS_HEAD_GROUP", "0"))
+
+
 def _xla_attention_bshd(q, k, v, bias, scale):
     """Transpose-free attention: q,k,v [B, S, H, Dh] straight from the
     projection reshape; returns [B, Sq, H, Dh]."""
@@ -332,12 +355,21 @@ def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False,
     if _attn_layout() == "bshd":
         def heads(y):
             return y.reshape(B, S, num_heads, head_dim)
-        q = heads(lin(layer_p["q"], x, dtype))
-        k = heads(lin(layer_p["k"], x, dtype))
-        v = heads(lin(layer_p["v"], x, dtype))
+        if _fused_qkv() and quant == "none":
+            w = jnp.concatenate([layer_p[n]["kernel"] for n in "qkv"],
+                                axis=1)
+            b = jnp.concatenate([layer_p[n]["bias"] for n in "qkv"])
+            qkv = linear({"kernel": w, "bias": b}, x, dtype)
+            q, k, v = (heads(y) for y in jnp.split(qkv, 3, axis=-1))
+        else:
+            q = heads(lin(layer_p["q"], x, dtype))
+            k = heads(lin(layer_p["k"], x, dtype))
+            v = heads(lin(layer_p["v"], x, dtype))
         if use_pallas:
             from ..ops.attention import flash_attention
-            out = flash_attention(q, k, v, bias, scale, layout="bshd")
+            out = flash_attention(q, k, v, bias, scale,
+                                  head_group=_pallas_head_group(),
+                                  layout="bshd")
         else:
             out = _xla_attention_bshd(q, k, v, bias, scale)
         return lin(layer_p["out"], out.reshape(B, S, D), dtype)
@@ -351,7 +383,8 @@ def attention(layer_p, x, bias, num_heads, *, dtype, use_pallas=False,
 
     if use_pallas:
         from ..ops.attention import flash_attention
-        out = flash_attention(q, k, v, bias, scale)
+        out = flash_attention(q, k, v, bias, scale,
+                              head_group=_pallas_head_group())
     elif _attn_layout() == "flat":
         out = _xla_attention_flat(q, k, v, bias, scale)
     else:

@@ -41,6 +41,11 @@ class CLIPInference:
         self.params = params
         self.cfg = cfg
         self.bucket = batch_bucket
+        # CFA_SERVE_PROFILE=1: synchronous uploads so the serving stats
+        # decompose batch latency into upload vs compute+fetch.
+        import os
+        self._block_uploads = os.environ.get("CFA_SERVE_PROFILE",
+                                             "0") == "1"
 
         @jax.jit
         def embed_images(params, pixel_values):
@@ -61,12 +66,46 @@ class CLIPInference:
         self._embed_images = embed_images
         self._embed_texts = embed_texts
 
-    def _run_bucketed(self, fn, x: np.ndarray) -> np.ndarray:
-        outs = []
+    def _dispatch(self, fn, x: np.ndarray) -> list:
+        """Enqueue bucketed device work WITHOUT blocking on results.
+
+        Upload (``jnp.asarray``) and the jitted call are async under JAX
+        dispatch, so a caller can keep feeding the device while earlier
+        batches are still in flight — the serving batcher uses this to
+        overlap the host→device transfer of batch k+1 with the compute +
+        result fetch of batch k (the transfer dominates behind a slow
+        link: ~9.6 MB per 64-image uint8 bucket). Returns opaque
+        handles for :meth:`_fetch`."""
+        handles = []
         for i in range(0, len(x), self.bucket):
             chunk, n = _pad_to_bucket(x[i:i + self.bucket], self.bucket)
-            outs.append(np.asarray(fn(self.params, jnp.asarray(chunk)))[:n])
+            dev = jnp.asarray(chunk)
+            if self._block_uploads:
+                # Stage-profiling mode: force the transfer to finish here
+                # so upload and compute time separately. The element fetch
+                # is the reliable sync on the tunnel transport
+                # (block_until_ready can return early through it).
+                jax.block_until_ready(dev)
+                float(dev.ravel()[0])
+            handles.append((fn(self.params, dev), n))
+        return handles
+
+    @staticmethod
+    def _fetch(handles: list) -> np.ndarray:
+        outs = [np.asarray(h)[:n] for h, n in handles]
         return np.concatenate(outs) if outs else np.zeros((0,))
+
+    def dispatch_images(self, pixel_values: np.ndarray) -> list:
+        """Async form of :meth:`embed_images`; finish with :meth:`fetch`."""
+        return self._dispatch(self._embed_images, pixel_values)
+
+    def dispatch_texts(self, input_ids: np.ndarray) -> list:
+        return self._dispatch(self._embed_texts, input_ids)
+
+    fetch = _fetch
+
+    def _run_bucketed(self, fn, x: np.ndarray) -> np.ndarray:
+        return self._fetch(self._dispatch(fn, x))
 
     def embed_images(self, pixel_values: np.ndarray) -> np.ndarray:
         """[N, S, S, 3] (uint8 or normalized f32) → [N, P] normalized."""

@@ -155,3 +155,35 @@ if not rows:
     sys.exit(2)
 sys.exit(1 if fails else 0)
 EOF
+
+# -- stage 4 (optional): training-surface rehearsal with the round-4/5 -----
+# fast path. Gated on COCO_DIR (the synthetic generator's source data,
+# gen_synthetic_data.py:127-138); everything above is eval-only parity.
+# Exercises: synthetic data gen -> one-time pack (decode-free ingest) ->
+# fine-tune *pretrained* CLIP with --packed --device-data --grad-cache
+# (full-effective-batch negatives) -> CountBench A/B on the tuned
+# checkpoint vs the zero-shot run from stage 2.
+if [ -n "${COCO_DIR:-}" ]; then
+  echo "== stage 4: train-surface rehearsal (COCO_DIR=$COCO_DIR) =="
+  python -m clip_finegrained_alignment_tpu.cli.generate_data \
+    --coco-dir "$COCO_DIR" --output-dir "$OUT/synthetic" \
+    --num-samples "${N_SYNTH:-50000}" --size-category small \
+    --annotation-mode count --seed 42
+  python -m clip_finegrained_alignment_tpu.cli.pack_dataset \
+    --annotations "$OUT/synthetic/synthetic_annotations.json" \
+    --output "$OUT/synthetic_packed" --model "$MODEL_CB" --loss-type sparc
+  python -m clip_finegrained_alignment_tpu.cli.train \
+    --packed "$OUT/synthetic_packed" --device-data \
+    --model "$MODEL_CB" --pretrained "$HF_CB" \
+    --loss-type sparc --optimizer adamspd \
+    --batch-size 32 --grad-accum 4 --epochs "${EPOCHS:-10}" --lr 2e-5 \
+    --global-negatives --grad-cache \
+    --experiment-name parity_finetune --checkpoint-dir "$OUT/ckpt"
+  python -m clip_finegrained_alignment_tpu.cli.evaluate countbench \
+    --model "$MODEL_CB" --checkpoint "$OUT/ckpt/parity_finetune/best" \
+    --confidence 0.2 --margin 0.01 --format word --position first \
+    --output-dir "$OUT/tuned_countbench" \
+    > "$OUT/tuned_countbench.json"
+  echo "tuned-vs-zero-shot CountBench: compare $OUT/tuned_countbench.json"
+  echo "against $OUT/tpu_countbench.json"
+fi

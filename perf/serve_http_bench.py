@@ -86,6 +86,8 @@ def main():
                 lats.extend(mine)
 
         before = dict(clip.batcher.stats)
+        for k in ("latency_ms", "queue_wait_ms", "dispatch_ms"):
+            clip.batcher.stats[k].clear()  # per-endpoint stage windows
         threads = [threading.Thread(target=worker) for _ in range(clients)]
         t0 = time.perf_counter()
         for t in threads:
@@ -104,6 +106,11 @@ def main():
             "mean_batch_fill": round(items / max(batches, 1), 2),
             "clients": clients, "n": len(lats),
         }
+        # Server-side stage breakdown (per device batch): queue wait /
+        # dispatch (≈ upload under CFA_SERVE_PROFILE=1) / device+fetch.
+        results[name]["stages"] = {
+            k: v for k, v in clip.stats().items()
+            if k.endswith(("p50", "p95"))}
         print(f"{name}: {results[name]}", flush=True)
 
     srv.shutdown()

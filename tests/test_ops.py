@@ -401,3 +401,37 @@ def test_model_attention_flat_layout_matches_default(rng, monkeypatch):
     monkeypatch.setenv("CFA_ATTN_LAYOUT", "flat")
     got = m.attention(p, x, None, H, dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_model_attention_fused_qkv_matches_default(rng, monkeypatch):
+    """CFA_FUSED_QKV=1 (one [D, 3D] projection GEMM, trace-time kernel
+    concat — models/clip.py::_fused_qkv) must match the three-GEMM
+    default: forward bit-identical at fp32 (same contractions, only the
+    dispatch granularity changes), grads to fp32 rounding (the dgrad
+    slices associate differently)."""
+    from clip_finegrained_alignment_tpu.models import clip as m
+
+    B, S, D, H = 2, 9, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    p = {kk: {"kernel": jnp.asarray(rng.normal(size=(D, D)),
+                                    jnp.float32) * 0.1,
+              "bias": jnp.asarray(rng.normal(size=(D,)),
+                                  jnp.float32) * 0.1}
+         for kk in ("q", "k", "v", "out")}
+    bias = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)[None, None]
+
+    def loss(p, x):
+        return (m.attention(p, x, bias, H, dtype=jnp.float32) ** 2).sum()
+
+    monkeypatch.setenv("CFA_FUSED_QKV", "0")
+    want = m.attention(p, x, bias, H, dtype=jnp.float32)
+    g_want = jax.grad(loss)(p, x)
+    monkeypatch.setenv("CFA_FUSED_QKV", "1")
+    got = m.attention(p, x, bias, H, dtype=jnp.float32)
+    g_got = jax.grad(loss)(p, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for kk in ("q", "k", "v", "out"):
+        for leaf in ("kernel", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(g_got[kk][leaf]), np.asarray(g_want[kk][leaf]),
+                rtol=1e-5, atol=1e-6)

@@ -32,6 +32,10 @@ ESTIMATED_REFERENCE_PAIRS_PER_SEC = 500.0  # A100, reference torch stack
 
 def main():
     import jax
+
+    from clip_finegrained_alignment_tpu.core.xla_flags import \
+        enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     import jax.numpy as jnp
 
     from clip_finegrained_alignment_tpu.config import (CLIPConfig,

@@ -124,7 +124,10 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
     from ..config import CLIPConfig
+    from ..core.xla_flags import enable_persistent_compilation_cache
     from ..data.tokenizer import load_tokenizer
+
+    enable_persistent_compilation_cache()
 
     model_cfg = CLIPConfig.from_name(args.model)
     params = load_params(args, model_cfg)

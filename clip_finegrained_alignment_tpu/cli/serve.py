@@ -363,6 +363,9 @@ def main(argv=None):
     p.add_argument("--bpe-path", default=None)
     args = p.parse_args(argv)
 
+    from ..core.xla_flags import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     from ..config import CLIPConfig
     from ..data.tokenizer import load_tokenizer
     from . import evaluate as ev

@@ -190,6 +190,9 @@ def main(argv=None) -> None:
 
     import jax
 
+    from ..core.xla_flags import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     from ..config import MeshConfig, TrainConfig
     from ..data.datasets import (CounterfactualCaptionDataset,
                                  CountingDataPipeline,

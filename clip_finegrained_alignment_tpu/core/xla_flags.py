@@ -34,6 +34,30 @@ def ensure_cpu_collective_program_order() -> None:
         os.environ["XLA_FLAGS"] = (flags + " " + _SCHED_FLAG).strip()
 
 
+def enable_persistent_compilation_cache() -> None:
+    """Cache compiled XLA executables on disk across processes.
+
+    TPU compiles in this deployment ride a remote-compile service at
+    ~6 min per program with no cross-process reuse; the JAX persistent
+    cache keys serialized executables by (HLO, compile options,
+    platform) so a re-run of an already-compiled program loads in
+    seconds. Opt out with CFA_COMPILE_CACHE=0; point CFA_COMPILE_CACHE
+    at a directory to relocate it. Backends that cannot serialize
+    executables just log a warning and compile as before — enabling is
+    never worse. Call AFTER jax import, BEFORE the first computation.
+    """
+    import jax
+
+    loc = os.environ.get("CFA_COMPILE_CACHE", "")
+    if loc == "0":
+        return
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        loc or os.path.expanduser("~/.cache/cfa_xla_cache"))
+    # Small programs recompile fast anyway; only persist the painful ones.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
 def ensure_fast_cpu_compile() -> None:
     """Cut XLA:CPU compile latency for correctness-only runs.
 

@@ -81,3 +81,27 @@ def test_trace_report_classify():
     assert mod.classify("copy-done.77") == "copy-done"
     assert mod.classify("while") == "while"
     assert mod.classify("jit_train_step (args)") == "jit_train_step"
+
+
+def test_persistent_compilation_cache_toggle(tmp_path, monkeypatch):
+    """core.xla_flags.enable_persistent_compilation_cache honors
+    CFA_COMPILE_CACHE: '0' leaves the config untouched, a path relocates
+    the cache dir (the remote-compile service costs ~6 min/program in
+    this deployment; the cache is the cross-process reuse layer)."""
+    import jax
+
+    from clip_finegrained_alignment_tpu.core.xla_flags import \
+        enable_persistent_compilation_cache
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("CFA_COMPILE_CACHE", "0")
+        jax.config.update("jax_compilation_cache_dir", None)
+        enable_persistent_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+
+        monkeypatch.setenv("CFA_COMPILE_CACHE", str(tmp_path / "cc"))
+        enable_persistent_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)

@@ -154,11 +154,19 @@ def _prepare(q, k, v, bias, scale, head_group: int, layout: str = "bhsd"):
     # logits ≈ 2-3 MB). The bwd kernel holds ~3 [G, Sp, Sp] fp32
     # intermediates (p, dp, ds), so at long sequences (ViT-L/14@336,
     # Sp = 584) the group must shrink to stay inside the ~16 MB VMEM.
+    #
+    # bshd block shapes are [1, Sp, G, D]: Mosaic requires the
+    # second-to-last block dim divisible by 8 or equal to the array dim,
+    # so valid G are exactly {H} ∪ {divisors of H that are multiples of
+    # 8} — for CLIP's 12- and 8-head towers that collapses to G = H
+    # (caught as a lowering error in perf/sweep_r5b.log round 5; the
+    # bhsd layout blocks [1, G, Sp, D] carry no such constraint).
+    divisors = [d for d in range(1, H + 1) if H % d == 0
+                and (layout != "bshd" or d == H or d % 8 == 0)]
     if head_group > 0:
-        G = head_group
-        while H % G != 0:
-            G //= 2
-        G = max(G, 1)
+        # Snap an explicit request to the nearest valid divisor below it.
+        G = max([d for d in divisors if d <= head_group]
+                or [min(divisors)])
     else:
         # Budget the dominant VMEM residents of the bwd grid cell: the 3
         # [G, Sp, Sp] fp32 intermediates (p, dp, ds), the shared [Sp, Sp]
@@ -168,11 +176,13 @@ def _prepare(q, k, v, bias, scale, head_group: int, layout: str = "bhsd"):
         # the ~16 MiB VMEM leaves headroom for double-buffering and
         # scratch the compiler adds.
         budget = 9 * 2 ** 20
-        fit = [d for d in range(1, H + 1)
-               if H % d == 0
-               and (3 * d * Sp * Sp * 4 + Sp * Sp * 4
-                    + 7 * d * Sp * D * 4) <= budget]
-        G = max(fit) if fit else 1
+        fit = [d for d in divisors
+               if (3 * d * Sp * Sp * 4 + Sp * Sp * 4
+                   + 7 * d * Sp * D * 4) <= budget]
+        # No fitting valid group (bshd at long S): take the smallest
+        # valid one and let the compiler's real VMEM accounting decide —
+        # the 9 MiB heuristic is conservative against the 16 MiB core.
+        G = max(fit) if fit else min(divisors)
     pad = Sp - S
 
     qs = (q * scale).astype(q.dtype)

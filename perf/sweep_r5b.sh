@@ -1,21 +1,24 @@
 #!/bin/bash
-# Round-5 sweep B: Pallas attention grid tuning at CLIP's short
-# sequences (VERDICT r4 item 3). The kernel's auto head-group picks
-# G=6 for the ViT-B/16 vision tower (VMEM budget sized for the
-# long-S backward wall, ops/attention.py::_prepare); at S=197 the
-# [S,S] tiles are small enough that wider (G=12: one cell per batch
-# element, max MXU fill per call) or narrower (G=2: 6x the grid
-# parallelism) groups are both live alternatives. Prior art: the auto
-# kernel lost end-to-end in every earlier regime (812 vs 924 r2
-# stacked; 1626 vs 2369 B/32 r3), but was never measured under the
-# CURRENT B/16 default (unstacked + bshd + accum-unroll 1).
-# ~35 min/config: each distinct Pallas kernel adds ~5 min remote
-# compile in the tunnel environment.
+# Round-5 sweep B (take 2): Pallas attention grid tuning at CLIP's short
+# sequences (VERDICT r4 item 3). Take 1 exposed a real bug: under the
+# bshd default layout the kernel's auto head-group (G=6, sized by the
+# long-S VMEM budget) violates Mosaic's block-tiling constraint
+# (second-to-last block dim must be %8 or == H) — BENCH_PALLAS=1 had
+# been broken since bshd became the default (the r2/r3 Pallas numbers
+# ran bhsd). Fixed in ops/attention.py::_prepare (G snaps to a valid
+# divisor); this sweep measures the three distinct geometries that
+# exist post-fix:
+#   1. bshd, G=H (12 vision / 8 text) — in-VMEM head reorder, widest MXU
+#   2. bhsd, auto G (6 vision)        — host-side transpose, narrower
+#   3. bhsd, G=12                     — host-side transpose, widest
+# Prior art: auto-bhsd lost in every earlier regime (812 vs 924 r2
+# stacked; 1626 vs 2369 B/32 r3) but was never measured under the
+# CURRENT B/16 default (unstacked + accum-unroll 1). ~35 min/config.
 cd /root/repo
 LOG=/root/repo/perf/sweep_r5b.log
 : > $LOG
 run() { echo "=== $* ===" >> $LOG; env "$@" python bench.py >> $LOG 2>&1; }
 run BENCH_PALLAS=1
-run BENCH_PALLAS=1 CFA_PALLAS_HEAD_GROUP=12
-run BENCH_PALLAS=1 CFA_PALLAS_HEAD_GROUP=2
+run BENCH_PALLAS=1 CFA_ATTN_LAYOUT=bhsd
+run BENCH_PALLAS=1 CFA_ATTN_LAYOUT=bhsd CFA_PALLAS_HEAD_GROUP=12
 echo DONE >> $LOG

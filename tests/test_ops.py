@@ -435,3 +435,30 @@ def test_model_attention_fused_qkv_matches_default(rng, monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(g_got[kk][leaf]), np.asarray(g_want[kk][leaf]),
                 rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_head_group_respects_bshd_tiling(rng):
+    """bshd blocks are [1, Sp, G, D]; Mosaic requires the second-to-last
+    block dim divisible by 8 or equal to the array dim, so _prepare must
+    only ever pick G in {H} ∪ {divisors of H that are multiples of 8}
+    under layout="bshd" (round-5 lowering failure: auto G=6 at H=12,
+    perf/sweep_r5b.log). bhsd blocks [1, G, Sp, D] are unconstrained."""
+    from clip_finegrained_alignment_tpu.ops.attention import _prepare
+
+    def group(B, S, H, D, layout, head_group=0):
+        q = jnp.zeros((B, S, H, D) if layout == "bshd" else (B, H, S, D),
+                      jnp.float32)
+        *_, (_, _, _, _, _, G) = _prepare(q, q, q, None, 1.0, head_group,
+                                          layout)
+        return G
+
+    # ViT-B vision (H=12) / text (H=8): only G == H is bshd-valid.
+    assert group(2, 197, 12, 64, "bshd") == 12
+    assert group(2, 197, 12, 64, "bshd", head_group=2) == 12
+    assert group(2, 77, 8, 64, "bshd") == 8
+    # ViT-L/14@336 vision (H=16, S=577): {8, 16} valid; nothing fits the
+    # VMEM budget, so the smallest valid group is taken.
+    assert group(1, 577, 16, 64, "bshd") == 8
+    # bhsd: any divisor of H; explicit requests land on a divisor.
+    assert 12 % group(2, 197, 12, 64, "bhsd") == 0
+    assert group(2, 197, 12, 64, "bhsd", head_group=4) == 4

@@ -295,6 +295,23 @@ def _flash_attention_vjp(q: jax.Array, k: jax.Array, v: jax.Array,
     return _fused_forward(q, k, v, bias, scale, head_group, layout)
 
 
+def _bshd_geometry_feasible(H: int, S: int, D: int) -> bool:
+    """Whether ANY bshd head-group both satisfies Mosaic block tiling
+    (G == H or G % 8 == 0 — see :func:`_prepare`) and fits VMEM. The
+    compiler double-buffers the block operands, so the backward cell
+    budget is ~2x the resident estimate; at ViT-B/16's (H=12, Sp=200)
+    the only valid group G=12 needs ~22 MB against the 16 MB core
+    (measured lowering failure, perf/sweep_r5b.log round 5) — bshd is
+    structurally infeasible there and the wrapper transposes to the
+    unconstrained bhsd kernel instead."""
+    Sp = _round_up(S, 8)
+    divisors = [d for d in range(1, H + 1) if H % d == 0
+                and (d == H or d % 8 == 0)]
+    g = min(divisors)
+    est = 2 * (3 * g * Sp * Sp * 4 + Sp * Sp * 4 + 7 * g * Sp * D * 4)
+    return est <= 15 * 2 ** 20
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias: Optional[jax.Array], scale: float,
                     head_group: int = 0,
@@ -314,6 +331,16 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     bias is ever needed."""
     if bias is not None:
         bias = jax.lax.stop_gradient(bias)
+    if layout == "bshd" and not _bshd_geometry_feasible(
+            q.shape[2], q.shape[1], q.shape[3]):
+        # No bshd head-group is both tile-valid and VMEM-feasible at this
+        # shape: route through the unconstrained bhsd kernel. The
+        # explicit transposes are exactly what the bshd kernel exists to
+        # avoid, but a slower kernel beats an uncompilable one.
+        out = flash_attention(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                              jnp.swapaxes(v, 1, 2), bias, scale,
+                              head_group, "bhsd")
+        return jnp.swapaxes(out, 1, 2)
     if _interpret() and _vma(q, k, v):
         # Pallas's CPU interpreter cannot evaluate kernel bodies under
         # shard_map's vma tracking (internal block dynamic_slice mixes

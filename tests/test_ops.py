@@ -462,3 +462,27 @@ def test_pallas_head_group_respects_bshd_tiling(rng):
     # bhsd: any divisor of H; explicit requests land on a divisor.
     assert 12 % group(2, 197, 12, 64, "bhsd") == 0
     assert group(2, 197, 12, 64, "bhsd", head_group=4) == 4
+
+
+def test_flash_attention_bshd_infeasible_falls_back(rng):
+    """At ViT-B/16's vision geometry (H=12, S=197) no bshd head-group is
+    both tile-valid and VMEM-feasible (G must be 12; its backward cell
+    needs ~22 MB vs the 16 MB core — perf/sweep_r5b.log round 5), so the
+    wrapper must transparently route through the bhsd kernel and still
+    match the XLA reference path."""
+    from clip_finegrained_alignment_tpu.models.clip import \
+        _xla_attention_bshd
+    from clip_finegrained_alignment_tpu.ops.attention import (
+        _bshd_geometry_feasible, flash_attention)
+
+    assert not _bshd_geometry_feasible(12, 197, 64)   # B/16 vision
+    assert _bshd_geometry_feasible(12, 50, 64)        # B/32 vision
+    assert _bshd_geometry_feasible(8, 77, 64)         # B-class text
+
+    B, S, H, D = 1, 197, 12, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+               for _ in range(3))
+    got = flash_attention(q, k, v, None, D ** -0.5, layout="bshd")
+    want = _xla_attention_bshd(q, k, v, None, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -67,6 +67,9 @@ def main():
     # driver run because each Pallas kernel adds ~5 min of remote-compile
     # time in this tunnel environment (the kernels themselves are
     # validated in tests/test_ops.py and benchmarked separately).
+    # (Under the default bshd layout, B/16's vision geometry routes
+    # through the bhsd kernel automatically — no bshd head-group fits
+    # VMEM there; ops/attention.py::_bshd_geometry_feasible.)
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     use_fused_sparc = os.environ.get("BENCH_FUSED_SPARC", use_pallas
                                      and "1" or "0") == "1"

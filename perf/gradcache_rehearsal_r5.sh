@@ -28,12 +28,21 @@ from clip_finegrained_alignment_tpu.cli.generate_data import main
 main(['--procedural','--output-dir','/tmp/gc5data','--num-samples','2048',
       '--image-size','224','--seed','11'])"
 
+  echo "=== pack (decode once; --device-data keeps the feed device-bound"
+  echo "    so the grad-cache DEVICE cost is visible, not host decode) ==="
+  CFA_ALLOW_HASH_TOKENIZER=1 python -c "
+import jax; jax.config.update('jax_platforms','cpu')
+from clip_finegrained_alignment_tpu.cli.pack_dataset import main
+main(['--annotations','/tmp/gc5data/synthetic_annotations.json',
+      '--output','/tmp/gc5pack','--model','ViT-B/16',
+      '--loss-type','sparc'])"
+
   run_train() {  # run_train <name> <accum> [--grad-cache]
     local name=$1 accum=$2; shift 2
     echo "=== $name: ViT-B/16 sparc mb32 x accum $accum $* ==="
     CFA_ALLOW_HASH_TOKENIZER=1 \
     python -m clip_finegrained_alignment_tpu.cli.train \
-      --annotations /tmp/gc5data/synthetic_annotations.json \
+      --packed /tmp/gc5pack --device-data \
       --model ViT-B/16 --loss-type sparc --optimizer adamspd \
       --batch-size 32 --grad-accum "$accum" --epochs 4 --lr 1e-4 \
       --global-negatives "$@" \

@@ -286,6 +286,13 @@ class ClipServer:
 
 class _Handler(BaseHTTPRequestHandler):
     server_version = "cfa-serve/1.0"
+    # HTTP/1.1 keep-alive: every response carries an exact
+    # Content-Length, so persistent connections are safe — and without
+    # them each of N concurrent clients reconnects per request, and on
+    # a busy one-core host the accept backlog overflows into kernel
+    # RSTs (observed as client ConnectionResetError at 16 clients,
+    # perf/serve_http_bench_r5.log).
+    protocol_version = "HTTP/1.1"
     # set by make_server:
     clip: ClipServer = None  # type: ignore
 
@@ -294,6 +301,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _reply(self, code: int, obj: dict):
         body = json.dumps(obj).encode()
+        self._started = True
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
@@ -310,11 +318,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"no route {self.path}"})
 
     def do_POST(self):
+        self._started = False
         try:
             n = int(self.headers.get("Content-Length", 0))
             if self.path == "/v1/embed/image_raw":
                 emb = self.clip.embed_images_raw(self.rfile.read(n))
                 body = np.ascontiguousarray(emb, np.float32).tobytes()
+                self._started = True
                 self.send_response(200)
                 self.send_header("Content-Type",
                                  "application/octet-stream")
@@ -338,13 +348,27 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 self._reply(404, {"error": f"no route {self.path}"})
         except Exception as e:
+            if self._started:
+                # A response line is already on the wire; writing a
+                # second status would corrupt the keep-alive stream.
+                # Drop this connection only.
+                self.close_connection = True
+                return
             self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+
+class _Server(ThreadingHTTPServer):
+    # Deep accept backlog: bursts of connects (or reconnecting HTTP/1.0
+    # clients) must queue in the kernel instead of being RST while the
+    # single-core host is busy in numpy/upload work.
+    request_queue_size = 128
+    daemon_threads = True
 
 
 def make_server(clip: ClipServer, host: str = "127.0.0.1",
                 port: int = 0) -> ThreadingHTTPServer:
     handler = type("_BoundHandler", (_Handler,), {"clip": clip})
-    return ThreadingHTTPServer((host, port), handler)
+    return _Server((host, port), handler)
 
 
 def main(argv=None):
